@@ -1,0 +1,375 @@
+"""PaSST — Patchout faSt Spectrogram Transformer, TPU-native.
+
+A from-scratch flax.linen implementation of the reference architecture
+(reference: models/passt.py:271-595; arXiv 2110.05069): a pre-norm ViT over
+spectrogram patches with
+
+- a strided patch-embedding conv (patch 16x16, stride (fstride, tstride),
+  reference passt.py:298-328),
+- **disentangled positional embeddings**: separate frequency and time
+  embeddings added on the 2-D patch grid, plus a token embedding for the
+  CLS/DIST tokens (passt.py:438-440, 506-529),
+- **patchout** regularization: during training, structured patchout drops
+  whole time columns / frequency rows of the patch grid, unstructured
+  patchout drops random tokens from the flattened sequence
+  (passt.py:531-553),
+- CLS + distillation tokens; the classification head is
+  LayerNorm -> Linear applied to the *mean* of the two final tokens
+  (passt.py:463-467, 576-588). The distillation head exists in checkpoints
+  but is unused in the reference forward — kept here for checkpoint parity.
+
+TPU-first design notes
+----------------------
+- Layout is NHWC ([B, F, T, C]) end to end — the native TPU conv layout;
+  flattening [B, F', T', D] row-major reproduces the reference's
+  frequency-major token order (torch ``flatten(2)`` of [B, D, F, T]).
+- All patchout is **static-shape**: a sorted random subset of indices is
+  gathered with ``jnp.take``, so the sequence length is a compile-time
+  constant (seq = (F'-s_f)*(T'-s_t) - u + tokens) and everything jits once.
+- train/eval asymmetry is a static ``train`` argument (two compiled graphs),
+  randomness comes from named flax RNG streams: ``patchout``, ``dropout``,
+  ``droppath``.
+- Matmuls run in a configurable ``dtype`` (bfloat16 for training) with fp32
+  parameters and fp32 LayerNorm/softmax for stability.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+@dataclasses.dataclass(frozen=True)
+class PaSSTConfig:
+    """Model hyperparameters (defaults = reference PaSST defaults,
+    passt.py:391-395, with the AudioSet recipe's patchout at
+    ex_audioset.py:62-63 applied by presets, not here)."""
+
+    input_fdim: int = 128
+    input_tdim: int = 998
+    patch_size: Tuple[int, int] = (16, 16)
+    stride: Tuple[int, int] = (10, 10)
+    in_chans: int = 1
+    num_classes: int = 527
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    distilled: bool = True
+    u_patchout: int = 0
+    s_patchout_t: int = 0
+    s_patchout_f: int = 0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: str = "float32"  # computation dtype ("bfloat16" for training)
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        """(F_grid, T_grid) of the patch-embedding output for the nominal
+        input size (reference passt.py:311)."""
+        return (
+            (self.input_fdim - self.patch_size[0]) // self.stride[0] + 1,
+            (self.input_tdim - self.patch_size[1]) // self.stride[1] + 1,
+        )
+
+    @property
+    def num_tokens(self) -> int:
+        return 2 if self.distilled else 1
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def seq_len(self, train: bool, f_grid: Optional[int] = None, t_grid: Optional[int] = None) -> int:
+        """Static transformer sequence length (incl. CLS/DIST tokens)."""
+        f = self.grid_size[0] if f_grid is None else f_grid
+        t = self.grid_size[1] if t_grid is None else t_grid
+        if train:
+            f = f - self.s_patchout_f
+            t = t - self.s_patchout_t
+            return f * t - self.u_patchout + self.num_tokens
+        return f * t + self.num_tokens
+
+
+def trunc_normal_init(std: float = 0.02):
+    # timm trunc_normal_: truncation at +/- 2 std.
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """PyTorch Conv2d default (kaiming_uniform a=sqrt(5)) for HWIO kernels —
+    the reference leaves the patch conv at the torch default (passt.py:623-624
+    note)."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_conv_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def drop_path(x: jnp.ndarray, rate: float, rng: jax.Array) -> jnp.ndarray:
+    """Stochastic depth on the batch axis (reference vit_helpers.py:203-233)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def _sorted_keep_indices(rng: jax.Array, size: int, keep: int) -> jnp.ndarray:
+    """A sorted random subset of ``keep`` indices out of ``size`` — the
+    patchout selection semantics (torch.randperm[:keep].sort(),
+    reference passt.py:535, 541, 551), with a static output shape."""
+    perm = jax.random.permutation(rng, size)
+    return jnp.sort(perm[:keep])
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    drop: float
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Dense(self.hidden, dtype=self.dtype, kernel_init=trunc_normal_init(), name="fc1")(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU is the exact erf form
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = nn.Dense(self.out, dtype=self.dtype, kernel_init=trunc_normal_init(), name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Fused-QKV multi-head self-attention (reference passt.py:331-361)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool
+    attn_drop: float
+    proj_drop: float
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+        qkv = nn.Dense(
+            self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+            kernel_init=trunc_normal_init(), name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, Dh]
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+        out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init(), name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (reference passt.py:364-380)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop: float
+    attn_drop: float
+    drop_path_rate: float
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        def maybe_drop_path(y):
+            if train and self.drop_path_rate > 0.0:
+                return drop_path(y, self.drop_path_rate, self.make_rng("droppath"))
+            return y
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = Attention(
+            self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
+            dtype=self.dtype, name="attn",
+        )(h.astype(self.dtype), train)
+        x = x + maybe_drop_path(h)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype, name="mlp"
+        )(h.astype(self.dtype), train)
+        return x + maybe_drop_path(h)
+
+
+class PatchEmbed(nn.Module):
+    """Strided conv patch embedding, NHWC (reference passt.py:298-328)."""
+
+    embed_dim: int
+    patch_size: Tuple[int, int]
+    stride: Tuple[int, int]
+    in_chans: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = self.patch_size[0] * self.patch_size[1] * self.in_chans
+        return nn.Conv(
+            self.embed_dim,
+            kernel_size=self.patch_size,
+            strides=self.stride,
+            padding="VALID",
+            dtype=self.dtype,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_conv_bias_init(fan_in),
+            name="proj",
+        )(x)
+
+
+class PaSST(nn.Module):
+    """The PaSST transformer. Input: [B, C, F, T] spectrogram (the reference
+    call convention); returns ``(logits [B, num_classes], features [B, D])``
+    exactly like the reference forward (passt.py:576-595)."""
+
+    cfg: PaSSTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        b = x.shape[0]
+        d = cfg.embed_dim
+
+        # Parameters mirroring the reference state dict (passt.py:434-440).
+        cls_token = self.param("cls_token", trunc_normal_init(), (1, 1, d))
+        dist_token = (
+            self.param("dist_token", trunc_normal_init(), (1, 1, d)) if cfg.distilled else None
+        )
+        new_pos_embed = self.param("new_pos_embed", trunc_normal_init(), (1, cfg.num_tokens, d))
+        f_grid, t_grid = cfg.grid_size
+        freq_pos_embed = self.param("freq_new_pos_embed", trunc_normal_init(), (1, f_grid, 1, d))
+        time_pos_embed = self.param("time_new_pos_embed", trunc_normal_init(), (1, 1, t_grid, d))
+
+        # [B, C, F, T] -> NHWC [B, F, T, C] (TPU-native conv layout).
+        x = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
+        x = PatchEmbed(
+            d, cfg.patch_size, cfg.stride, cfg.in_chans, dtype=dtype, name="patch_embed"
+        )(x)  # [B, F', T', D]
+        _, f_cur, t_cur, _ = x.shape
+
+        # Time embedding: crop to the actual grid, random offset in training
+        # (reference passt.py:513-527). Inputs longer than the embedding are
+        # truncated, mirroring the reference warning path (passt.py:523-526).
+        if t_cur < t_grid:
+            if train:
+                offset = jax.random.randint(
+                    self.make_rng("patchout"), (), 0, t_grid - t_cur + 1
+                )
+                tpe = jax.lax.dynamic_slice(
+                    time_pos_embed, (0, 0, offset, 0), (1, 1, t_cur, d)
+                )
+            else:
+                tpe = time_pos_embed[:, :, :t_cur, :]
+        else:
+            x = x[:, :, :t_grid, :]
+            t_cur = t_grid
+            tpe = time_pos_embed
+        x = x + tpe.astype(dtype)
+
+        assert f_cur == f_grid, (
+            f"input frequency grid {f_cur} != positional embedding grid {f_grid}"
+        )
+        x = x + jnp.reshape(freq_pos_embed, (1, f_grid, 1, d)).astype(dtype)
+
+        # Structured patchout (training only, reference passt.py:531-543).
+        if train and cfg.s_patchout_t:
+            keep = _sorted_keep_indices(self.make_rng("patchout"), t_cur, t_cur - cfg.s_patchout_t)
+            x = jnp.take(x, keep, axis=2)
+            t_cur -= cfg.s_patchout_t
+        if train and cfg.s_patchout_f:
+            keep = _sorted_keep_indices(self.make_rng("patchout"), f_cur, f_cur - cfg.s_patchout_f)
+            x = jnp.take(x, keep, axis=1)
+            f_cur -= cfg.s_patchout_f
+
+        # Flatten (frequency-major, like torch flatten(2) on [B,D,F,T]).
+        x = x.reshape(b, f_cur * t_cur, d)
+
+        # Unstructured patchout (reference passt.py:549-553).
+        if train and cfg.u_patchout:
+            seq = x.shape[1]
+            keep = _sorted_keep_indices(self.make_rng("patchout"), seq, seq - cfg.u_patchout)
+            x = jnp.take(x, keep, axis=1)
+
+        # CLS / DIST tokens with their own positional embedding (passt.py:557-564).
+        cls = (cls_token + new_pos_embed[:, :1, :]).astype(dtype)
+        cls = jnp.broadcast_to(cls, (b, 1, d))
+        if cfg.distilled:
+            dist = (dist_token + new_pos_embed[:, 1:, :]).astype(dtype)
+            dist = jnp.broadcast_to(dist, (b, 1, d))
+            x = jnp.concatenate([cls, dist, x], axis=1)
+        else:
+            x = jnp.concatenate([cls, x], axis=1)
+
+        x = nn.Dropout(cfg.drop_rate, deterministic=not train)(x)
+
+        # Stochastic-depth decay rule (reference passt.py:444).
+        dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        for i in range(cfg.depth):
+            x = Block(
+                d, cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias,
+                cfg.drop_rate, cfg.attn_drop_rate, float(dpr[i]),
+                dtype=dtype, name=f"blocks_{i}",
+            )(x, train)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+
+        if cfg.distilled:
+            features = (x[:, 0] + x[:, 1]) / 2.0  # (passt.py:582-583)
+        else:
+            features = x[:, 0]
+        features = features.astype(jnp.float32)
+
+        # head = LayerNorm -> Linear (reference passt.py:463-464; torch names
+        # head.0 / head.1 map to head_norm / head_linear here).
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="head_norm")(features)
+        logits = nn.Dense(
+            cfg.num_classes, dtype=jnp.float32, kernel_init=trunc_normal_init(), name="head_linear"
+        )(h)
+
+        if cfg.distilled:
+            # Defined for checkpoint parity; unused by the reference forward
+            # (passt.py:582-588 applies only self.head) — XLA removes the
+            # dead computation at compile time.
+            _ = nn.Dense(
+                cfg.num_classes, dtype=jnp.float32, kernel_init=trunc_normal_init(),
+                name="head_dist",
+            )(features)
+
+        return logits, features
+
+
+def init_passt(cfg: PaSSTConfig, rng: jax.Array, input_tdim: Optional[int] = None):
+    """Initialize parameters; returns (model, params)."""
+    model = PaSST(cfg)
+    tdim = cfg.input_tdim if input_tdim is None else input_tdim
+    x = jnp.zeros((1, cfg.in_chans, cfg.input_fdim, tdim), jnp.float32)
+    variables = model.init({"params": rng}, x, train=False)
+    return model, variables["params"]

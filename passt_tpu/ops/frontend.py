@@ -62,7 +62,7 @@ class MelConfig:
     fmin_aug_range: int = 1
     fmax_aug_range: int = 1000
     iid_masks: bool = True
-    stft_method: str = "conv"  # "conv" (MXU path) or "fft"
+    stft_method: str = "matmul"  # "matmul" (MXU path), "conv", or "fft"
 
     def __post_init__(self):
         assert self.fmin_aug_range >= 1, "fmin_aug_range >= 1 (1 = no augmentation)"

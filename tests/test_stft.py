@@ -6,6 +6,7 @@ import pytest
 import jax.numpy as jnp
 
 from passt_tpu.ops.stft import (
+    stft_power,
     hann_window,
     make_stft_filters,
     num_stft_frames,
@@ -26,13 +27,12 @@ def torch_stft_power(x_np, n_fft=1024, hop=320, win_length=800):
     return (spec ** 2).sum(dim=-1).numpy()  # [B, bins, frames]
 
 
-@pytest.mark.parametrize("method", ["conv", "fft"])
+@pytest.mark.parametrize("method", ["matmul", "conv", "fft"])
 @pytest.mark.parametrize("num_samples", [32000, 48001, 159999])
 def test_stft_power_matches_torch(rng_np, method, num_samples):
     x = rng_np.standard_normal((2, num_samples)).astype(np.float32)
     ref = torch_stft_power(x)
-    fn = stft_power_conv if method == "conv" else stft_power_fft
-    got = np.asarray(fn(jnp.asarray(x)))
+    got = np.asarray(stft_power(jnp.asarray(x), method=method))
     assert got.shape == ref.shape
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-4 * scale)
