@@ -1,0 +1,306 @@
+"""Host-side audio datasets: HDF5 containers, waveform augmentation, wave
+mixup — the reference's L1 data layer rebuilt without torch.
+
+Reference semantics covered (file:line into /root/reference):
+- ``AudioSetDataset``: lazy-opened HDF5 with columns ``audio_name``,
+  compressed audio bytes (``mp3``) or raw ``waveform``, packed-bit ``target``;
+  pad-or-truncate to clip_length*sr; stride-subsample resample for 16/8 kHz
+  (audioset/dataset.py:143-216).
+- FSD50K variant: *random-crop* instead of head-truncate, and
+  ``clip_length=None`` variable length (fsd50k/dataset.py:70-79).
+- OpenMIC variant: float targets ``[20 labels || 20 masks]`` without
+  packbits (openmic/dataset.py:199-201).
+- gain augment +/-7 dB (audioset/dataset.py:104-112), roll +/-50 samples
+  (audioset/dataset.py:315-329), waveform mixup with Beta(2,2), rate 0.5 and
+  mean-centering (audioset/dataset.py:115-140), mask-merging OpenMIC wavmix
+  (openmic/dataset.py:117-137).
+
+The decode path is pluggable: this image has no ffmpeg/libav, so ``mp3``
+columns require registering a decoder (``register_decoder``); raw-waveform
+and WAV-bytes columns decode natively. The offline prep tools
+(passt_tpu/data/prepare) write raw/flac-free containers that need no
+external decoder.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Item = Tuple[np.ndarray, str, np.ndarray]  # (waveform [T], name, target)
+
+
+# ---------------------------------------------------------------------------
+# waveform utilities
+# ---------------------------------------------------------------------------
+def pad_or_truncate(x: np.ndarray, audio_length: int) -> np.ndarray:
+    """Zero-pad or head-truncate to ``audio_length`` (audioset/dataset.py:73-78)."""
+    if len(x) <= audio_length:
+        return np.concatenate([x, np.zeros(audio_length - len(x), dtype=np.float32)])
+    return x[:audio_length]
+
+
+def random_crop(x: np.ndarray, audio_length: int, rng: np.random.Generator) -> np.ndarray:
+    """Zero-pad or random-crop (the FSD50K training behavior,
+    fsd50k/dataset.py:70-79)."""
+    if len(x) <= audio_length:
+        return np.concatenate([x, np.zeros(audio_length - len(x), dtype=np.float32)])
+    offset = int(rng.integers(0, len(x) - audio_length + 1))
+    return x[offset : offset + audio_length]
+
+
+def stride_resample(x: np.ndarray, sample_rate: int, source_rate: int = 32000) -> np.ndarray:
+    """The reference's stride-subsample 'resampling' (audioset/dataset.py:202-216)."""
+    if sample_rate == source_rate:
+        return x
+    if source_rate % sample_rate:
+        raise ValueError(f"incorrect sample rate {sample_rate}")
+    return x[:: source_rate // sample_rate]
+
+
+def gain_augment(x: np.ndarray, gain_db: int, rng: np.random.Generator) -> np.ndarray:
+    """Random gain in [-gain_db, gain_db) dB (audioset/dataset.py:108-111)."""
+    gain = int(rng.integers(0, gain_db * 2)) - gain_db
+    return x * np.float32(10.0 ** (gain / 20.0))
+
+
+def roll_augment(x: np.ndarray, shift_range: int, rng: np.random.Generator) -> np.ndarray:
+    """Circular roll by a random +/-shift_range samples
+    (audioset/dataset.py:315-329)."""
+    sf = int(rng.integers(-shift_range, shift_range + 1))
+    return np.roll(x, sf, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# decoders
+# ---------------------------------------------------------------------------
+def _decode_raw_f32(buf: np.ndarray) -> np.ndarray:
+    return np.frombuffer(buf.tobytes(), dtype=np.float32).copy()
+
+
+def _decode_raw_i16(buf: np.ndarray) -> np.ndarray:
+    return np.frombuffer(buf.tobytes(), dtype=np.int16).astype(np.float32) / 32768.0
+
+
+def _decode_wav(buf: np.ndarray) -> np.ndarray:
+    """Minimal RIFF/WAVE PCM decoder (mono or averaged-to-mono)."""
+    import wave
+
+    with wave.open(io.BytesIO(buf.tobytes())) as w:
+        n = w.getnframes()
+        width = w.getsampwidth()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2147483648.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x
+
+
+DECODERS: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
+    "waveform": _decode_raw_f32,
+    "raw_f32": _decode_raw_f32,
+    "raw_i16": _decode_raw_i16,
+    "wav": _decode_wav,
+}
+
+
+def register_decoder(column: str, fn: Callable[[np.ndarray], np.ndarray]) -> None:
+    """Register a decoder for an audio column (e.g. an mp3 decoder backed by
+    the native C++ plane or an external tool)."""
+    DECODERS[column] = fn
+
+
+# ---------------------------------------------------------------------------
+# datasets
+# ---------------------------------------------------------------------------
+class AudioDataset:
+    """Minimal dataset protocol: len() + [i] -> (waveform, name, target)."""
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, index: int) -> Item:
+        raise NotImplementedError
+
+
+class HDF5AudioDataset(AudioDataset):
+    """The HDF5-container dataset (reference AudioSetDataset,
+    audioset/dataset.py:143-216, plus the FSD50K/OpenMIC deltas).
+
+    Parameters mirror the reference: ``clip_length`` seconds (None =
+    variable length, FSD50K eval), ``classes_num`` for unpackbits,
+    ``gain_augment_db`` (reference ``pydub_augment`` gain),
+    ``crop`` in {"head", "random"}; ``packed_targets=False`` reads float
+    targets directly (OpenMIC layout).
+    """
+
+    def __init__(
+        self,
+        hdf5_file: str,
+        sample_rate: int = 32000,
+        classes_num: int = 527,
+        clip_length: Optional[float] = 10,
+        audio_column: Optional[str] = None,
+        packed_targets: bool = True,
+        gain_augment_db: int = 0,
+        crop: str = "head",
+        in_mem: bool = False,
+        seed: int = 0,
+    ):
+        import h5py
+
+        self.hdf5_path = hdf5_file
+        self._h5py = h5py
+        if in_mem:
+            with open(hdf5_file, "rb") as f:
+                self.hdf5_path = io.BytesIO(f.read())
+        with h5py.File(self.hdf5_path, "r") as f:
+            self.length = len(f["audio_name"])
+            if audio_column is None:
+                for cand in ("waveform", "raw_f32", "raw_i16", "wav", "mp3"):
+                    if cand in f:
+                        audio_column = cand
+                        break
+                else:
+                    raise ValueError(f"no known audio column in {hdf5_file}")
+        self.audio_column = audio_column
+        self.file = None  # lazy per-process open (fork safety)
+        self.sample_rate = sample_rate
+        self.classes_num = classes_num
+        self.clip_samples = None if clip_length is None else int(clip_length * sample_rate)
+        self.packed_targets = packed_targets
+        self.gain_augment_db = gain_augment_db
+        self.crop = crop
+        self.rng = np.random.default_rng(seed)
+
+    def reseed(self, seed: int) -> None:
+        """Per-worker/per-epoch reseed (reference worker_init_fn,
+        helpers/workersinit.py:6-12)."""
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self.length
+
+    def _open(self):
+        if self.file is None:
+            self.file = self._h5py.File(self.hdf5_path, "r")
+        return self.file
+
+    def __getitem__(self, index: int) -> Item:
+        f = self._open()
+        name = f["audio_name"][index]
+        name = name.decode() if isinstance(name, bytes) else str(name)
+        decoder = DECODERS.get(self.audio_column)
+        if decoder is None:
+            raise RuntimeError(
+                f"no decoder registered for column {self.audio_column!r}; "
+                "use passt_tpu.data.register_decoder"
+            )
+        waveform = decoder(f[self.audio_column][index]).astype(np.float32)
+        if self.gain_augment_db:
+            waveform = gain_augment(waveform, self.gain_augment_db, self.rng)
+        if self.clip_samples is not None:
+            if self.crop == "random":
+                waveform = random_crop(waveform, self.clip_samples, self.rng)
+            else:
+                waveform = pad_or_truncate(waveform, self.clip_samples)
+        waveform = stride_resample(waveform, self.sample_rate)
+        target = f["target"][index]
+        if self.packed_targets:
+            target = np.unpackbits(target, axis=-1, count=self.classes_num)
+        target = np.asarray(target, dtype=np.float32)
+        return waveform, name, target
+
+
+class ConcatDataset(AudioDataset):
+    """Concatenation (reference uses torch ConcatDataset for
+    balanced+unbalanced AudioSet, audioset/dataset.py:239-243)."""
+
+    def __init__(self, datasets: Sequence[AudioDataset]):
+        self.datasets = list(datasets)
+        self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def __getitem__(self, index):
+        i = int(np.searchsorted(self.offsets, index, side="right") - 1)
+        return self.datasets[i][index - int(self.offsets[i])]
+
+
+class MapDataset(AudioDataset):
+    """Apply fn(item) -> item (reference PreprocessDataset,
+    helpers/audiodatasets.py)."""
+
+    def __init__(self, dataset: AudioDataset, fn: Callable[[Item], Item]):
+        self.dataset = dataset
+        self.fn = fn
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index):
+        return self.fn(self.dataset[index])
+
+
+class WavMixDataset(AudioDataset):
+    """Waveform mixup ("wavmix", reference MixupDataset,
+    audioset/dataset.py:115-140): with probability ``rate``, mean-center and
+    blend with a random second clip using ``lambda = max(B(beta,beta),
+    1-B)``; targets blended. ``merge_masks``: OpenMIC layout, the mask halves
+    are OR-merged (openmic/dataset.py:117-137)."""
+
+    def __init__(
+        self,
+        dataset: AudioDataset,
+        beta: float = 2.0,
+        rate: float = 0.5,
+        merge_masks: bool = False,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.beta = beta
+        self.rate = rate
+        self.merge_masks = merge_masks
+        self.rng = np.random.default_rng(seed)
+
+    def reseed(self, seed: int) -> None:
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index):
+        if self.rng.random() < self.rate:
+            x1, f1, y1 = self.dataset[index]
+            idx2 = int(self.rng.integers(0, len(self.dataset)))
+            x2, _, y2 = self.dataset[idx2]
+            lam = self.rng.beta(self.beta, self.beta)
+            lam = np.float32(max(lam, 1.0 - lam))
+            x1 = x1 - x1.mean()
+            x2 = x2 - x2.mean()
+            n = min(len(x1), len(x2))
+            x = x1[:n] * lam + x2[:n] * (1.0 - lam)
+            x = x - x.mean()
+            if self.merge_masks:
+                k = len(y1) // 2
+                y = np.concatenate(
+                    [
+                        y1[:k] * lam + y2[:k] * (1.0 - lam),
+                        ((y1[k:] > 0.5) | (y2[k:] > 0.5)).astype(np.float32),
+                    ]
+                )
+            else:
+                y = y1 * lam + y2 * (1.0 - lam)
+            return x.astype(np.float32), f1, y
+        return self.dataset[index]

@@ -1,0 +1,120 @@
+"""Batching and prefetch: the host data plane feeding the TPU.
+
+The reference uses torch DataLoader with 16 decode workers per GPU
+(ex_audioset.py:42-48). Here the loader is torch-free: a sampler drives
+dataset reads, items are collated to dense numpy batches, and a
+double-buffered background-thread prefetcher overlaps host IO/augmentation
+with device steps. (The C++ native plane can plug in as a decoder /
+collator backend; see native/.)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+from passt_tpu.data.datasets import AudioDataset
+
+
+def default_collate(items) -> Dict[str, np.ndarray]:
+    """(waveform, name, target) items -> {'wave': [B, T], 'target': [B, C],
+    'name': list}. Variable-length waveforms are zero-padded to the batch
+    max (only occurs for clip_length=None eval datasets; the reference uses
+    batch_size=1 there instead, fsd50k/dataset.py)."""
+    waves = [np.asarray(it[0]).reshape(-1) for it in items]
+    names = [it[1] for it in items]
+    targets = [np.asarray(it[2]) for it in items]
+    t_max = max(len(w) for w in waves)
+    wave = np.zeros((len(waves), t_max), dtype=np.float32)
+    for i, w in enumerate(waves):
+        wave[i, : len(w)] = w
+    return {
+        "wave": wave,
+        "target": np.stack(targets).astype(np.float32),
+        "name": names,
+    }
+
+
+class DataLoader:
+    """Sampler-driven batch iterator.
+
+    ``set_epoch`` must be called per epoch to reseed epoch-dependent
+    samplers (the reference sets ``reload_dataloaders_every_epoch=True``
+    for exactly this purpose, ex_audioset.py:75).
+    """
+
+    def __init__(
+        self,
+        dataset: AudioDataset,
+        batch_size: int,
+        sampler,
+        collate: Callable = default_collate,
+        drop_last: bool = False,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.collate = collate
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _iter_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        buf = []
+        for idx in self.sampler:
+            buf.append(self.dataset[idx])
+            if len(buf) == self.batch_size:
+                yield self.collate(buf)
+                buf = []
+        if buf and not self.drop_last:
+            yield self.collate(buf)
+
+    def __iter__(self):
+        it = self._iter_batches()
+        if self.prefetch > 0:
+            return Prefetcher(it, depth=self.prefetch)
+        return it
+
+
+class Prefetcher:
+    """Background-thread prefetch with a bounded queue."""
+
+    _DONE = object()
+
+    def __init__(self, iterator: Iterator, depth: int = 2):
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.error: Optional[BaseException] = None
+
+        def worker():
+            try:
+                for item in iterator:
+                    self.q.put(item)
+            except BaseException as e:  # propagate into consumer
+                self.error = e
+            finally:
+                self.q.put(self._DONE)
+
+        self.thread = threading.Thread(target=worker, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is self._DONE:
+            if self.error is not None:
+                raise self.error
+            raise StopIteration
+        return item

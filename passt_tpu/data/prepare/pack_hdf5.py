@@ -1,0 +1,83 @@
+"""Offline dataset packing: audio + targets -> one HDF5 per split.
+
+The reference packs mp3 bytes + packbits targets into HDF5
+(reference: audioset/prepare_scripts/create_h5pymp3_dataset.py:103-183;
+fsd50k/prepare_scripts/create_h5pymp3_dataset.py:40-88; openmic
+download_preprocess.py:74-91 stores float [labels || masks] targets).
+
+This environment has no ffmpeg, so the first-class container here stores
+either compressed bytes as-is (``pack_bytes_hdf5`` — same layout as the
+reference, any column name: 'mp3', 'wav', ...) or int16 raw waveforms
+(``pack_waveform_hdf5`` — 2 bytes/sample; a 10 s 32 kHz clip is 625 KiB,
+~5x an mp3 but decode-free and random-access).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _pack_targets(targets: np.ndarray, packed: bool):
+    if packed:
+        return np.packbits(targets.astype(np.uint8), axis=-1)
+    return targets.astype(np.float32)
+
+
+def pack_waveform_hdf5(
+    out_path: str,
+    items: Iterable[Tuple[str, np.ndarray, np.ndarray]],
+    sample_rate: int = 32000,
+    packed_targets: bool = True,
+) -> int:
+    """items: iterable of (name, waveform float32 [-1,1], target multi-hot).
+    Writes columns audio_name / raw_i16 (vlen) / target. Returns count."""
+    import h5py
+
+    names, waves, targets = [], [], []
+    for name, wave, target in items:
+        names.append(name.encode() if isinstance(name, str) else name)
+        w = np.clip(np.asarray(wave, dtype=np.float32), -1.0, 1.0)
+        waves.append((w * 32767.0).astype(np.int16).view(np.uint8))
+        targets.append(target)
+    targets = _pack_targets(np.stack(targets), packed_targets)
+
+    with h5py.File(out_path, "w") as f:
+        f.create_dataset("audio_name", data=np.asarray(names, dtype="S64"))
+        dt = h5py.vlen_dtype(np.uint8)
+        ds = f.create_dataset("raw_i16", shape=(len(waves),), dtype=dt)
+        for i, w in enumerate(waves):
+            ds[i] = w
+        f.create_dataset("target", data=targets)
+        f.attrs["sample_rate"] = sample_rate
+    return len(waves)
+
+
+def pack_bytes_hdf5(
+    out_path: str,
+    items: Iterable[Tuple[str, bytes, np.ndarray]],
+    column: str = "mp3",
+    sample_rate: int = 32000,
+    packed_targets: bool = True,
+) -> int:
+    """items: (name, encoded_bytes, target). Same container layout as the
+    reference's mp3 HDF5s (audio_name S-col, vlen uint8 bytes, targets)."""
+    import h5py
+
+    names, blobs, targets = [], [], []
+    for name, blob, target in items:
+        names.append(name.encode() if isinstance(name, str) else name)
+        blobs.append(np.frombuffer(blob, dtype=np.uint8))
+        targets.append(target)
+    targets = _pack_targets(np.stack(targets), packed_targets)
+
+    with h5py.File(out_path, "w") as f:
+        f.create_dataset("audio_name", data=np.asarray(names, dtype="S64"))
+        dt = h5py.vlen_dtype(np.uint8)
+        ds = f.create_dataset(column, shape=(len(blobs),), dtype=dt)
+        for i, b in enumerate(blobs):
+            ds[i] = b
+        f.create_dataset("target", data=targets)
+        f.attrs["sample_rate"] = sample_rate
+    return len(blobs)

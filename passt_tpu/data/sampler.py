@@ -1,0 +1,119 @@
+"""Samplers: class-balanced weighted epoch sampling with rank sharding.
+
+Reference semantics (audioset/dataset.py:257-306, 381-400):
+- per-class frequency + offset 100 -> weight 1000/freq; a sample's weight is
+  the sum (or max) of its labels' class weights,
+- each epoch draws ``epoch_len=100000`` indices *without replacement* from
+  those weights,
+- the generator is reseeded with ``seed + epoch`` every epoch, then the
+  index list is sliced ``indices[rank::num_replicas]`` per data-parallel
+  rank — identical draws on every rank, disjoint slices.
+
+Weighted sampling without replacement uses the exponential-race trick
+(keys = exp(1)/w, take the ``epoch_len`` smallest), which draws from the
+same distribution as torch's iterative WeightedRandomSampler.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+
+def class_balanced_sample_weights(
+    targets: np.ndarray, offset: float = 100.0, sum_weights: bool = True
+) -> np.ndarray:
+    """targets: [N, C] multi-hot -> per-sample weight [N]
+    (reference get_ft_cls_balanced_sample_weights, audioset/dataset.py:257-290)."""
+    targets = np.asarray(targets, dtype=np.float64)
+    per_class = offset + targets.sum(axis=0, keepdims=True)
+    per_class_weights = 1000.0 / per_class
+    all_weight = targets * per_class_weights
+    if sum_weights:
+        return all_weight.sum(axis=1)
+    return all_weight.max(axis=1)
+
+
+class WeightedEpochSampler:
+    """Epoch-reseeded, rank-sliced weighted sampler
+    (reference DistributedSamplerWrapper(WeightedRandomSampler),
+    audioset/dataset.py:294-306, 381-400)."""
+
+    def __init__(
+        self,
+        weights: np.ndarray,
+        epoch_len: int = 100000,
+        replacement: bool = False,
+        num_replicas: int = 1,
+        rank: int = 0,
+        seed: int = 0,
+    ):
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.epoch_len = epoch_len
+        self.replacement = replacement
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        # ceil-division slice length (torch DistributedSampler pads; the
+        # reference slices the raw list -> ranks may differ by one).
+        return (self.epoch_len - self.rank + self.num_replicas - 1) // self.num_replicas
+
+    def _draw(self, rng: np.random.Generator) -> np.ndarray:
+        n = len(self.weights)
+        k = min(self.epoch_len, n) if not self.replacement else self.epoch_len
+        if self.replacement:
+            p = self.weights / self.weights.sum()
+            return rng.choice(n, size=k, replace=True, p=p)
+        keys = rng.exponential(size=n) / self.weights
+        return np.argpartition(keys, k - 1)[:k][np.argsort(keys[np.argpartition(keys, k - 1)[:k]])]
+
+    def __iter__(self) -> Iterator[int]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        indices = self._draw(rng)
+        return iter(indices[self.rank :: self.num_replicas].tolist())
+
+
+class SequentialSampler:
+    def __init__(self, n: int, num_replicas: int = 1, rank: int = 0):
+        self.n = n
+        self.num_replicas = num_replicas
+        self.rank = rank
+
+    def set_epoch(self, epoch: int) -> None:
+        pass
+
+    def __len__(self):
+        return (self.n - self.rank + self.num_replicas - 1) // self.num_replicas
+
+    def __iter__(self):
+        return iter(range(self.rank, self.n, self.num_replicas))
+
+
+class ShuffleSampler:
+    """Seed+epoch-reseeded shuffle with rank slicing (the non-AudioSet
+    training loaders use shuffle=True with per-epoch reseeds)."""
+
+    def __init__(self, n: int, num_replicas: int = 1, rank: int = 0, seed: int = 0):
+        self.n = n
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self):
+        return (self.n - self.rank + self.num_replicas - 1) // self.num_replicas
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed + self.epoch)
+        perm = rng.permutation(self.n)
+        return iter(perm[self.rank :: self.num_replicas].tolist())

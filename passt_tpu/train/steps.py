@@ -1,0 +1,168 @@
+"""The jitted train/eval steps: waveform -> mel -> mixup -> PaSST -> loss ->
+AdamW update, as one compiled graph.
+
+This is the hot loop of the reference ``M.training_step``
+(reference: ex_audioset.py:155-198: mel_forward -> my_mixup -> forward ->
+BCE -> AdamW+LambdaLR via PL), collapsed into a single pure function: all
+augmentation randomness (SpecAugment, mel-range jitter, mixup, patchout,
+dropout) derives from one per-step PRNG key, and the whole step — including
+the optimizer update — runs on device with no host synchronization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from passt_tpu.models.passt import PaSST, PaSSTConfig, init_passt
+from passt_tpu.ops.frontend import MelConfig, log_mel_spectrogram
+from passt_tpu.train import losses as L
+from passt_tpu.train.mixup import apply_mixup, sample_mixup
+from passt_tpu.train.schedules import get_scheduler_lambda, make_lr_schedule
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def make_optimizer(
+    lr: float = 0.00002,
+    weight_decay: float = 0.0001,
+    steps_per_epoch: int = 1000,
+    schedule_mode: str = "exp_lin",
+    warm_up_len: int = 5,
+    ramp_down_start: int = 50,
+    ramp_down_len: int = 50,
+    last_lr_value: float = 0.01,
+    adamw: bool = True,
+) -> optax.GradientTransformation:
+    """AdamW(lr=2e-5, wd=1e-4) with the warmup+linear-down epoch schedule —
+    reference get_optimizer/get_lr_scheduler (ex_audioset.py:97-109).
+    Weight decay applies to ALL parameters including positional embeddings
+    and norms: the reference defines no_weight_decay() but never uses it
+    (SURVEY §7 quirk list; ex_audioset.py:297)."""
+    epoch_fn = get_scheduler_lambda(
+        warm_up_len, ramp_down_start, ramp_down_len, last_lr_value, schedule_mode
+    )
+    schedule = make_lr_schedule(lr, epoch_fn, steps_per_epoch)
+    if adamw:
+        return optax.adamw(schedule, weight_decay=weight_decay)
+    return optax.adam(schedule)
+
+
+def create_train_state(
+    cfg: PaSSTConfig,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+):
+    model, params = init_passt(cfg, rng)
+    state = TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
+    return model, state
+
+
+LOSS_FNS: Dict[str, Callable] = {
+    "multilabel": L.multilabel_loss,  # AudioSet / FSD50K
+    "single_label": L.single_label_mixup_loss,  # ESC-50
+    "masked": L.masked_bce_loss,  # OpenMIC
+}
+
+
+def make_train_step(
+    model: PaSST,
+    tx: optax.GradientTransformation,
+    mel_cfg: Optional[MelConfig] = MelConfig(),
+    loss_type: str = "multilabel",
+    use_mixup: bool = True,
+    mixup_alpha: float = 0.3,
+    input_tdim: Optional[int] = None,
+    donate: bool = True,
+    jit: bool = True,
+):
+    """Build the jitted train step.
+
+    step(state, batch, rng) -> (state, metrics); ``batch`` is a dict with
+    ``wave`` [B, T] float32 (or ``mel`` [B, 1, F, T] to skip the frontend)
+    and ``target`` ([B, C] multilabel/masked, [B] int for single-label).
+    ``rng`` is a *base* key; the per-step key is folded in from state.step,
+    so resuming at step k reproduces the schedule exactly.
+    """
+    loss_fn_inner = LOSS_FNS[loss_type]
+    tdim = input_tdim if input_tdim is not None else model.cfg.input_tdim
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        step_key = jax.random.fold_in(rng, state.step)
+        k_mel, k_mix, k_patch, k_drop, k_dpath = jax.random.split(step_key, 5)
+
+        if "mel" in batch:
+            x = batch["mel"]
+        else:
+            mel = log_mel_spectrogram(batch["wave"], mel_cfg, rng=k_mel, train=True)
+            x = mel[:, None, :, :tdim]
+        y = batch["target"]
+        b = x.shape[0]
+
+        perm = lam = None
+        if use_mixup:
+            perm, lam = sample_mixup(k_mix, b, mixup_alpha)
+            x = apply_mixup(x, perm, lam)
+
+        def loss_of(params):
+            logits, _ = model.apply(
+                {"params": params},
+                x,
+                train=True,
+                rngs={"patchout": k_patch, "dropout": k_drop, "droppath": k_dpath},
+            )
+            return loss_fn_inner(logits, y, perm, lam)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        metrics = {"loss": loss}
+        return new_state, metrics
+
+    if not jit:
+        return step_fn
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model: PaSST,
+    mel_cfg: Optional[MelConfig] = MelConfig(),
+    loss_type: str = "multilabel",
+    input_tdim: Optional[int] = None,
+):
+    """Jitted eval step: (params, batch) -> dict(out=probabilities (or
+    logits for single-label), loss) — the reference ``validation_step``
+    compute (ex_audioset.py:216-243, minus host-side metric collection)."""
+    tdim = input_tdim if input_tdim is not None else model.cfg.input_tdim
+
+    def step_fn(params, batch):
+        if "mel" in batch:
+            x = batch["mel"]
+        else:
+            mel = log_mel_spectrogram(batch["wave"], mel_cfg, train=False)
+            x = mel[:, None, :, :tdim]
+        logits, features = model.apply({"params": params}, x, train=False)
+        y = batch["target"]
+        if loss_type == "single_label":
+            loss = L.softmax_ce(logits, y).mean()
+            out = jax.nn.log_softmax(logits, axis=-1)
+        elif loss_type == "masked":
+            loss = L.masked_bce_loss(logits, y)
+            out = jax.nn.sigmoid(logits)
+        else:
+            loss = L.bce_with_logits(logits, y).mean()
+            out = jax.nn.sigmoid(logits)
+        return {"out": out, "loss": loss, "features": features}
+
+    return jax.jit(step_fn)

@@ -1,0 +1,64 @@
+"""Stochastic weight averaging as a pure pytree running average.
+
+The reference implements SWA as a 268-line Lightning callback cloning the
+network and running-averaging its parameters every ``swa_freq`` epochs from
+``swa_epoch_start`` (reference: helpers/swa_callback.py:161-268; defaults:
+AudioSet start=50 freq=5 at ex_audioset.py:323, ESC-50 start=2 freq=1,
+FSD50K start=10 freq=3). Functionally that is three lines of pytree math:
+``avg += (p - avg) / (n + 1)`` on the epochs where an update fires
+(swa_callback.py:246-268). Under replicated data-parallel params the
+average is identical on every device — no callback machinery needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+from flax import struct
+
+
+@struct.dataclass
+class SWAState:
+    avg_params: Any
+    n_averaged: int = 0
+    swa_epoch_start: int = struct.field(pytree_node=False, default=50)
+    swa_freq: int = struct.field(pytree_node=False, default=5)
+
+
+def swa_init(params, swa_epoch_start: int = 50, swa_freq: int = 5) -> SWAState:
+    return SWAState(
+        avg_params=jax.tree.map(lambda x: x, params),
+        n_averaged=0,
+        swa_epoch_start=swa_epoch_start,
+        swa_freq=swa_freq,
+    )
+
+
+def swa_should_update(state: SWAState, epoch: int) -> bool:
+    """True on epochs where the reference callback averages
+    (swa_callback.py:194-213: epochs >= start, every ``freq`` epochs)."""
+    if epoch < state.swa_epoch_start:
+        return False
+    return (epoch - state.swa_epoch_start) % state.swa_freq == 0
+
+
+def swa_update(state: SWAState, params) -> SWAState:
+    """avg += (p - avg) / (n + 1)  (swa_callback.py:246-268)."""
+    n = state.n_averaged
+
+    def upd(avg, p):
+        return avg + (p - avg) / (n + 1.0)
+
+    if n == 0:
+        new_avg = jax.tree.map(lambda a, p: p, state.avg_params, params)
+    else:
+        new_avg = jax.tree.map(upd, state.avg_params, params)
+    return state.replace(avg_params=new_avg, n_averaged=n + 1)
+
+
+def swa_step(state: SWAState, params, epoch: int) -> SWAState:
+    """Convenience: update iff this epoch fires."""
+    if swa_should_update(state, epoch):
+        return swa_update(state, params)
+    return state

@@ -1,0 +1,183 @@
+"""Data-layer tests: HDF5 container round trip, augmentation semantics,
+wavmix, the class-balanced weighted sampler with rank sharding + epoch
+reseed, and the loader/prefetcher."""
+
+import numpy as np
+import pytest
+
+from passt_tpu.data import (
+    ConcatDataset,
+    DataLoader,
+    HDF5AudioDataset,
+    MapDataset,
+    SequentialSampler,
+    ShuffleSampler,
+    WavMixDataset,
+    WeightedEpochSampler,
+    class_balanced_sample_weights,
+    pad_or_truncate,
+    random_crop,
+    stride_resample,
+)
+from passt_tpu.data.prepare import pack_waveform_hdf5
+
+
+@pytest.fixture()
+def synth_hdf5(tmp_path, rng_np):
+    path = str(tmp_path / "train.h5")
+    items = []
+    for i in range(20):
+        t = rng_np.uniform(1.0, 3.0)  # 1-3 s clips
+        wave = (rng_np.standard_normal(int(32000 * t)) * 0.1).astype(np.float32)
+        target = np.zeros(16)
+        target[i % 16] = 1
+        if i % 3 == 0:
+            target[(i + 5) % 16] = 1
+        items.append((f"clip_{i:03d}.wav", wave, target))
+    pack_waveform_hdf5(path, items, packed_targets=True)
+    return path
+
+
+def test_hdf5_roundtrip(synth_hdf5):
+    ds = HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2)
+    assert len(ds) == 20
+    wave, name, target = ds[0]
+    assert name == "clip_000.wav"
+    assert wave.shape == (64000,) and wave.dtype == np.float32
+    assert target.shape == (16,) and target[0] == 1.0
+    # int16 quantization bound
+    assert np.abs(wave).max() <= 1.0
+
+
+def test_pad_truncate_and_crop(rng_np):
+    x = rng_np.standard_normal(100).astype(np.float32)
+    assert len(pad_or_truncate(x, 150)) == 150
+    assert pad_or_truncate(x, 150)[120] == 0.0
+    np.testing.assert_array_equal(pad_or_truncate(x, 50), x[:50])
+    rng = np.random.default_rng(0)
+    c = random_crop(x, 50, rng)
+    assert len(c) == 50
+    # crop must be a contiguous window of x
+    starts = [i for i in range(51) if np.array_equal(x[i : i + 50], c)]
+    assert len(starts) == 1
+
+
+def test_stride_resample():
+    x = np.arange(32000, dtype=np.float32)
+    np.testing.assert_array_equal(stride_resample(x, 16000), x[::2])
+    np.testing.assert_array_equal(stride_resample(x, 8000), x[::4])
+    with pytest.raises(ValueError):
+        stride_resample(x, 44100)
+
+
+def test_wavmix(synth_hdf5):
+    base = HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2)
+    ds = WavMixDataset(base, rate=1.0, seed=1)
+    wave, name, target = ds[0]
+    w0, _, t0 = base[0]
+    assert wave.shape == w0.shape
+    assert not np.array_equal(wave, w0)  # always mixed at rate=1
+    assert abs(wave.mean()) < 1e-6  # mean-centered
+    # targets became soft
+    assert ((target > 0) & (target < 1)).any() or (target == t0).all()
+    ds_off = WavMixDataset(base, rate=0.0)
+    w_off, _, _ = ds_off[0]
+    np.testing.assert_array_equal(w_off, w0)
+
+
+def test_concat_and_map(synth_hdf5):
+    a = HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2)
+    b = HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2)
+    cat = ConcatDataset([a, b])
+    assert len(cat) == 40
+    np.testing.assert_array_equal(cat[25][0], b[5][0])
+    doubled = MapDataset(cat, lambda it: (it[0] * 2, it[1], it[2]))
+    np.testing.assert_allclose(doubled[3][0], cat[3][0] * 2)
+
+
+def test_class_balanced_weights():
+    targets = np.zeros((6, 3))
+    targets[0:4, 0] = 1  # frequent class
+    targets[4, 1] = 1  # rare class
+    targets[5, [0, 1]] = 1
+    w = class_balanced_sample_weights(targets, offset=1)
+    # rare-class samples weigh more
+    assert w[4] > w[0]
+    # multi-label sample sums both class weights
+    np.testing.assert_allclose(w[5], w[0] + w[4])
+    # reference formula: 1000/(offset + freq)
+    np.testing.assert_allclose(w[0], 1000.0 / 6.0)
+
+
+def test_weighted_epoch_sampler_rank_sharding():
+    rng = np.random.default_rng(0)
+    weights = rng.uniform(0.1, 1.0, size=1000)
+    samplers = [
+        WeightedEpochSampler(weights, epoch_len=100, num_replicas=4, rank=r, seed=7)
+        for r in range(4)
+    ]
+    for s in samplers:
+        s.set_epoch(3)
+    parts = [list(s) for s in samplers]
+    # disjoint slices covering exactly the same epoch draw
+    merged = []
+    for i in range(max(len(p) for p in parts)):
+        for p in parts:
+            if i < len(p):
+                merged.append(p[i])
+    single = WeightedEpochSampler(weights, epoch_len=100, seed=7)
+    single.set_epoch(3)
+    assert merged == list(single)
+    # without replacement: no duplicate indices in the epoch
+    assert len(set(merged)) == len(merged) == 100
+    # epoch reseed changes the draw; same epoch reproduces it
+    single.set_epoch(4)
+    other = list(single)
+    assert other != merged
+    single.set_epoch(3)
+    assert list(single) == merged  # reproducible for the same epoch
+
+
+def test_weighted_sampler_bias():
+    """Heavier weights must be drawn more often across epochs."""
+    weights = np.ones(100)
+    weights[:10] = 20.0
+    s = WeightedEpochSampler(weights, epoch_len=50, seed=0)
+    counts = np.zeros(100)
+    for e in range(60):
+        s.set_epoch(e)
+        for i in s:
+            counts[i] += 1
+    assert counts[:10].mean() > counts[10:].mean() * 2
+
+
+def test_dataloader_and_prefetch(synth_hdf5):
+    ds = HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2)
+    dl = DataLoader(ds, batch_size=6, sampler=SequentialSampler(len(ds)), prefetch=2)
+    batches = list(iter(dl))
+    assert len(batches) == 4  # 20/6 -> 3 full + 1 partial
+    assert batches[0]["wave"].shape == (6, 64000)
+    assert batches[0]["target"].shape == (6, 16)
+    assert batches[-1]["wave"].shape[0] == 2
+    assert len(dl) == 4
+    # shuffle sampler: epoch changes order deterministically
+    sh = ShuffleSampler(20, seed=3)
+    sh.set_epoch(0)
+    e0 = list(sh)
+    sh.set_epoch(1)
+    e1 = list(sh)
+    sh.set_epoch(0)
+    assert list(sh) == e0 and e0 != e1
+
+
+def test_prefetcher_propagates_errors():
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    from passt_tpu.data import Prefetcher
+
+    it = Prefetcher(gen(), depth=1)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)

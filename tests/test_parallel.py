@@ -1,0 +1,112 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+Validates: DP gradient equivalence (8-way sharded batch == single-device),
+TP param layouts, and a full dp x tp train step executing with correct
+output shardings — the semantics the reference gets from DDP forking +
+NCCL allreduce (ex_audioset.py:475-524), here from GSPMD.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from passt_tpu.models.passt import PaSSTConfig
+from passt_tpu.ops.frontend import MelConfig
+from passt_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    replicate,
+    shard_batch,
+    shard_params,
+)
+from passt_tpu.train.steps import create_train_state, make_optimizer, make_train_step
+
+
+def _tiny():
+    cfg = PaSSTConfig(
+        input_fdim=32, input_tdim=50, embed_dim=64, depth=2, num_heads=4,
+        num_classes=8, s_patchout_t=1, u_patchout=2,
+    )
+    mcfg = MelConfig(n_mels=32, freqm=4, timem=8)
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=5)
+    model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0))
+    return cfg, mcfg, tx, model, state
+
+
+def _batch(rng_np, b=8):
+    waves = rng_np.standard_normal((b, 16000)).astype(np.float32)
+    targets = (rng_np.uniform(size=(b, 8)) < 0.3).astype(np.float32)
+    return {"wave": jnp.asarray(waves), "target": jnp.asarray(targets)}
+
+
+def test_dp_step_matches_single_device(rng_np):
+    cfg, mcfg, tx, model, state = _tiny()
+    raw = make_train_step(model, tx, mcfg, use_mixup=False, donate=False, jit=False)
+    batch = _batch(rng_np)
+    rng = jax.random.PRNGKey(7)
+
+    single_state, single_metrics = jax.jit(raw)(state, batch, rng)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    sh_state = jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), state)
+    sh_batch = shard_batch(batch, mesh)
+    par = make_parallel_train_step(raw, mesh)
+    par_state, par_metrics = par(sh_state, sh_batch, rng)
+
+    np.testing.assert_allclose(
+        float(par_metrics["loss"]), float(single_metrics["loss"]), rtol=2e-6
+    )
+    flat_a = jax.tree.leaves(single_state.params)
+    flat_b = jax.tree.leaves(par_state.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_tp_param_layouts():
+    cfg, mcfg, tx, model, state = _tiny()
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = shard_params(state.params, mesh)
+    qkv = params["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")
+    fc2 = params["blocks_0"]["mlp"]["fc2"]["kernel"]
+    assert fc2.sharding.spec == P("model", None)
+    cls = params["cls_token"]
+    assert cls.sharding.spec == P()
+
+
+def test_dp_tp_train_step_executes(rng_np):
+    cfg, mcfg, tx, model, state = _tiny()
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = shard_params(state.params, mesh)
+    opt_state = replicate(state.opt_state, mesh)
+    state = state.replace(params=params, opt_state=opt_state)
+    batch = shard_batch(_batch(rng_np), mesh)
+    raw = make_train_step(model, tx, mcfg, use_mixup=True, donate=False, jit=False)
+    par = make_parallel_train_step(raw, mesh)
+    new_state, metrics = par(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # TP layout preserved through the optimizer update.
+    qkv = new_state.params["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")
+    # Second step runs (donation-free path) and changes the loss.
+    new_state2, metrics2 = par(new_state, batch, jax.random.PRNGKey(1))
+    assert float(metrics2["loss"]) != float(metrics["loss"])
+
+
+def test_eval_outputs_gatherable(rng_np):
+    """all_gather-equivalent for eval: outputs sharded over data come back
+    addressable for host-side mAP (the reference all_gathers eval outputs,
+    ex_audioset.py:274-285)."""
+    from passt_tpu.train.steps import make_eval_step
+
+    cfg, mcfg, tx, model, state = _tiny()
+    mesh = make_mesh(n_data=8)
+    params = replicate(state.params, mesh)
+    ev = make_eval_step(model, mcfg)
+    batch = shard_batch(_batch(rng_np, b=16), mesh)
+    out = ev(params, batch)
+    arr = np.asarray(out["out"])  # implicit cross-device gather to host
+    assert arr.shape == (16, 8)

@@ -1,0 +1,228 @@
+"""Training-layer tests: schedules vs the reference closures, mixup, losses
+vs torch oracles, SWA math, metrics vs sklearn, and a 5-step mini-train
+convergence smoke (the reference's `mini_train` diagnostic,
+config_updates.py:24-26)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from passt_tpu.models.passt import PaSSTConfig
+from passt_tpu.train import (
+    SWAState,
+    average_precision,
+    bce_with_logits,
+    cosine_cycle,
+    exp_warmup_linear_down,
+    make_eval_step,
+    make_train_step,
+    masked_bce_loss,
+    mean_average_precision,
+    roc_auc,
+    sample_mixup,
+    single_label_mixup_loss,
+    swa_init,
+    swa_should_update,
+    swa_update,
+)
+from passt_tpu.train.mixup import apply_mixup
+from passt_tpu.train.schedules import make_lr_schedule
+from passt_tpu.train.steps import create_train_state, make_optimizer
+
+
+# --------------------------------------------------------------------------
+# Schedules: compare against the reference's own closures (pure numpy code,
+# executed from /root/reference as an oracle).
+# --------------------------------------------------------------------------
+def _reference_ramp():
+    import importlib.util, sys
+
+    spec = importlib.util.spec_from_file_location("ref_ramp", "/root/reference/helpers/ramp.py")
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except ImportError:
+        return None  # needs ba3l; stubbed in reference_oracle
+    return mod
+
+
+def test_exp_warmup_linear_down_matches_reference():
+    from reference_oracle import _install_stubs
+
+    _install_stubs()
+    ref = _reference_ramp()
+    if ref is None:
+        pytest.skip("reference ramp not importable")
+    ours = exp_warmup_linear_down(5, 50, 50, 0.01)
+    theirs = ref.exp_warmup_linear_down(5, 50, 50, 0.01)
+    for e in range(130):
+        assert abs(ours(e) - theirs(e)) < 1e-12, e
+    ours_c = cosine_cycle(20, 100, 0.01)
+    theirs_c = ref.cosine_cycle(20, 100, 0.01)
+    for e in range(250):
+        assert abs(ours_c(e) - theirs_c(e)) < 1e-12, e
+
+
+def test_lr_schedule_step_table():
+    fn = exp_warmup_linear_down(5, 50, 50, 0.01)
+    sched = make_lr_schedule(2e-5, fn, steps_per_epoch=10)
+    # constant within an epoch, follows the epoch closure across epochs
+    assert float(sched(0)) == float(sched(9)) == pytest.approx(2e-5 * fn(0))
+    assert float(sched(10)) == pytest.approx(2e-5 * fn(1))
+    assert float(sched(55 * 10)) == pytest.approx(2e-5 * fn(55))
+
+
+# --------------------------------------------------------------------------
+# Mixup
+# --------------------------------------------------------------------------
+def test_mixup_sampling_and_blend():
+    perm, lam = sample_mixup(jax.random.PRNGKey(0), 64, 0.3)
+    assert perm.shape == (64,) and sorted(np.asarray(perm).tolist()) == list(range(64))
+    assert (np.asarray(lam) >= 0.5).all() and (np.asarray(lam) <= 1.0).all()
+    x = jnp.arange(8, dtype=jnp.float32).reshape(8, 1, 1, 1)
+    mixed = apply_mixup(x, jnp.arange(8)[::-1], jnp.full((8,), 0.75))
+    np.testing.assert_allclose(
+        np.asarray(mixed)[:, 0, 0, 0], 0.75 * np.arange(8) + 0.25 * np.arange(8)[::-1]
+    )
+
+
+# --------------------------------------------------------------------------
+# Losses vs torch oracles
+# --------------------------------------------------------------------------
+def test_bce_matches_torch(rng_np):
+    torch = pytest.importorskip("torch")
+    logits = rng_np.standard_normal((4, 10)).astype(np.float32)
+    targets = rng_np.uniform(size=(4, 10)).astype(np.float32)
+    ref = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(targets), reduction="none"
+    ).numpy()
+    got = np.asarray(bce_with_logits(jnp.asarray(logits), jnp.asarray(targets)))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_single_label_mixup_loss_matches_torch(rng_np):
+    torch = pytest.importorskip("torch")
+    logits = rng_np.standard_normal((6, 50)).astype(np.float32)
+    labels = rng_np.integers(0, 50, size=6)
+    perm = np.asarray([3, 1, 0, 5, 4, 2])
+    lam = rng_np.uniform(0.5, 1.0, size=6).astype(np.float32)
+    tl, tla, tp = torch.from_numpy(logits), torch.from_numpy(labels), torch.from_numpy(perm)
+    ref = (
+        torch.nn.functional.cross_entropy(tl, tla, reduction="none") * torch.from_numpy(lam)
+        + torch.nn.functional.cross_entropy(tl, tla[tp], reduction="none")
+        * (1 - torch.from_numpy(lam))
+    ).mean()
+    got = single_label_mixup_loss(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(perm), jnp.asarray(lam)
+    )
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+
+def test_masked_bce_uses_mask():
+    logits = jnp.zeros((2, 20))
+    twm = np.zeros((2, 40), dtype=np.float32)
+    twm[:, :20] = 1.0  # labels all positive
+    twm[0, 20:] = 1.0  # sample 0 fully observed, sample 1 fully masked out
+    loss = masked_bce_loss(logits, jnp.asarray(twm))
+    # only half the cells contribute log(2)
+    np.testing.assert_allclose(float(loss), np.log(2.0) / 2.0, rtol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# SWA
+# --------------------------------------------------------------------------
+def test_swa_running_average():
+    p1 = {"w": jnp.asarray(2.0)}
+    s = swa_init(p1, swa_epoch_start=2, swa_freq=2)
+    assert not swa_should_update(s, 0) and not swa_should_update(s, 1)
+    assert swa_should_update(s, 2) and not swa_should_update(s, 3) and swa_should_update(s, 4)
+    s = swa_update(s, {"w": jnp.asarray(2.0)})
+    s = swa_update(s, {"w": jnp.asarray(4.0)})
+    s = swa_update(s, {"w": jnp.asarray(6.0)})
+    assert float(s.avg_params["w"]) == pytest.approx(4.0)
+    assert s.n_averaged == 3
+
+
+# --------------------------------------------------------------------------
+# Metrics vs sklearn
+# --------------------------------------------------------------------------
+def test_ap_and_auc_match_sklearn(rng_np):
+    skm = pytest.importorskip("sklearn.metrics")
+    scores = rng_np.uniform(size=(200, 8))
+    scores[:, 3] = np.round(scores[:, 3], 1)  # force ties
+    targets = (rng_np.uniform(size=(200, 8)) < 0.1).astype(np.float64)
+    targets[:, 5] = 0.0  # class with no positives
+    ours = average_precision(targets, scores)
+    theirs = np.array(
+        [
+            skm.average_precision_score(targets[:, j], scores[:, j])
+            if targets[:, j].sum() > 0 else np.nan
+            for j in range(8)
+        ]
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-9, equal_nan=True)
+    ours_auc = roc_auc(targets, scores)
+    theirs_auc = np.array(
+        [
+            skm.roc_auc_score(targets[:, j], scores[:, j]) if 0 < targets[:, j].sum() < 200 else np.nan
+            for j in range(8)
+        ]
+    )
+    np.testing.assert_allclose(ours_auc, theirs_auc, rtol=1e-9, equal_nan=True)
+
+
+# --------------------------------------------------------------------------
+# Mini-train smoke: loss decreases over a few steps on a learnable task
+# (the reference `mini_train` debugging config, config_updates.py:24-26).
+# --------------------------------------------------------------------------
+def _tiny_cfg(**kw):
+    return PaSSTConfig(
+        input_fdim=32, input_tdim=50, embed_dim=64, depth=2, num_heads=4,
+        num_classes=8, s_patchout_t=1, s_patchout_f=1, u_patchout=2, **kw
+    )
+
+
+def test_mini_train_loss_decreases(rng_np):
+    cfg = _tiny_cfg()
+    from passt_tpu.ops.frontend import MelConfig
+
+    mcfg = MelConfig(n_mels=32, freqm=4, timem=8)
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=5, warm_up_len=1)
+    model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, mcfg, loss_type="multilabel", use_mixup=True, donate=False)
+
+    # learnable data: two fixed waveforms with distinct labels
+    waves = rng_np.standard_normal((4, 16000)).astype(np.float32)
+    targets = np.zeros((4, 8), dtype=np.float32)
+    targets[np.arange(4), np.arange(4)] = 1.0
+    batch = {"wave": jnp.asarray(waves), "target": jnp.asarray(targets)}
+
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert state.step == 12
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_eval_step_deterministic_and_shapes(rng_np):
+    cfg = _tiny_cfg()
+    from passt_tpu.ops.frontend import MelConfig
+
+    mcfg = MelConfig(n_mels=32)
+    tx = make_optimizer(steps_per_epoch=5)
+    model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0))
+    ev = make_eval_step(model, mcfg, loss_type="multilabel")
+    batch = {
+        "wave": jnp.asarray(rng_np.standard_normal((2, 16000)).astype(np.float32)),
+        "target": jnp.asarray(np.zeros((2, 8), dtype=np.float32)),
+    }
+    out1 = ev(state.params, batch)
+    out2 = ev(state.params, batch)
+    assert out1["out"].shape == (2, 8)
+    np.testing.assert_array_equal(np.asarray(out1["out"]), np.asarray(out2["out"]))
+    assert (np.asarray(out1["out"]) >= 0).all() and (np.asarray(out1["out"]) <= 1).all()
