@@ -1,0 +1,238 @@
+"""Typed experiment configuration with dotted CLI overrides and named presets.
+
+Replaces the reference's sacred/ba3l dependency-injection stack
+(reference: ba3l/experiment.py, ba3l/ingredients/*, config_updates.py) with
+plain dataclasses: the *override surface* is kept — ``model.*``, ``mel.*``,
+``data.*``, ``trainer.*`` dotted keys and named presets applied by name,
+like sacred's ``with arg=value named_config`` CLI (README.md:160-258) — but
+resolution is eager, typed and printable, with none of the command-magic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from passt_tpu.models.passt import PaSSTConfig
+from passt_tpu.ops.frontend import MelConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSelect:
+    """get_model arguments (reference models/passt.py:957-961)."""
+
+    arch: str = "passt_s_swa_p16_128_ap476"
+    pretrained: bool = False
+    checkpoint_path: Optional[str] = None
+    n_classes: int = 527
+    in_channels: int = 1
+    fstride: int = 10
+    tstride: int = 10
+    input_fdim: int = 128
+    input_tdim: int = 998
+    u_patchout: int = 0
+    s_patchout_t: int = 40  # AudioSet recipe default (ex_audioset.py:62)
+    s_patchout_f: int = 4
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    train_hdf5: Optional[str] = None
+    train_hdf5_extra: Optional[str] = None  # AudioSet unbalanced split
+    valid_hdf5: Optional[str] = None
+    eval_hdf5: Optional[str] = None
+    num_classes: int = 527
+    clip_length: Optional[float] = 10.0
+    sample_rate: int = 32000
+    batch_size: int = 12  # reference train loader (ex_audioset.py:42)
+    eval_batch_size: int = 20  # reference validate loader (ex_audioset.py:47)
+    wavmix: bool = True  # ex_audioset.py:71
+    roll: bool = True
+    roll_shift_range: int = 50
+    gain_augment_db: int = 7
+    weighted_sampler: bool = True  # AudioSet class-balanced sampler
+    epoch_len: int = 100000
+    sampler_replace: bool = False
+    packed_targets: bool = True
+    merge_mask_wavmix: bool = False  # OpenMIC
+    crop: str = "head"  # "random" for FSD50K training
+    num_replicas: int = 1
+    rank: int = 0
+    seed: int = 42
+    prefetch: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    max_epochs: int = 130  # ex_audioset.py:74
+    lr: float = 0.00002
+    weight_decay: float = 0.0001
+    schedule_mode: str = "exp_lin"
+    warm_up_len: int = 5
+    ramp_down_start: int = 50
+    ramp_down_len: int = 50
+    last_lr_value: float = 0.01
+    use_mixup: bool = True
+    mixup_alpha: float = 0.3
+    loss_type: str = "multilabel"
+    swa: bool = True
+    swa_epoch_start: int = 50
+    swa_freq: int = 5
+    eval_every: int = 1
+    limit_train_batches: Optional[int] = None  # mini_train (config_updates.py:24-26)
+    limit_eval_batches: Optional[int] = None
+    checkpoint_dir: Optional[str] = None
+    keep_last_n: int = 1
+    log_every_steps: int = 50
+    n_data: Optional[int] = None  # mesh axes; default all devices on data
+    n_model: int = 1
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "audioset"
+    model: ModelSelect = ModelSelect()
+    mel: MelConfig = MelConfig(fmin_aug_range=10, fmax_aug_range=2000)
+    data: DataConfig = DataConfig()
+    trainer: TrainerConfig = TrainerConfig()
+
+    def passt_config(self) -> PaSSTConfig:
+        from passt_tpu.models.registry import get_model_config
+
+        m = self.model
+        return get_model_config(
+            arch=m.arch,
+            n_classes=m.n_classes,
+            in_channels=m.in_channels,
+            fstride=m.fstride,
+            tstride=m.tstride,
+            input_fdim=m.input_fdim,
+            input_tdim=m.input_tdim,
+            u_patchout=m.u_patchout,
+            s_patchout_t=m.s_patchout_t,
+            s_patchout_f=m.s_patchout_f,
+            dtype=m.dtype,
+        )
+
+    def pretty(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+# ---------------------------------------------------------------------------
+# dotted overrides
+# ---------------------------------------------------------------------------
+def _coerce(old: Any, raw: str) -> Any:
+    if raw.lower() in ("none", "null"):
+        return None
+    if old is None or isinstance(old, str):
+        try:
+            return json.loads(raw)  # allow numbers/bools/quoted strings
+        except (json.JSONDecodeError, ValueError):
+            return raw
+    if isinstance(old, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(old, int):
+        return int(raw)
+    if isinstance(old, float):
+        return float(raw)
+    if isinstance(old, tuple):
+        return tuple(json.loads(raw))
+    return json.loads(raw)
+
+
+def apply_overrides(cfg, overrides: Dict[str, str]):
+    """Apply ``{"trainer.lr": "1e-4", ...}`` to a (frozen) dataclass tree,
+    returning a new tree — the sacred ``with key=value`` surface."""
+    for key, raw in overrides.items():
+        parts = key.split(".")
+        cfg = _apply_one(cfg, parts, raw)
+    return cfg
+
+
+def _apply_one(node, parts: List[str], raw: str):
+    field = parts[0]
+    if not dataclasses.is_dataclass(node):
+        raise KeyError(f"cannot descend into {type(node).__name__} at {field}")
+    names = {f.name for f in dataclasses.fields(node)}
+    if field not in names:
+        raise KeyError(
+            f"unknown config key {field!r} on {type(node).__name__}; known: {sorted(names)}"
+        )
+    old = getattr(node, field)
+    if len(parts) == 1:
+        new = _coerce(old, raw) if isinstance(raw, str) else raw
+    else:
+        new = _apply_one(old, parts[1:], raw)
+    return dataclasses.replace(node, **{field: new})
+
+
+# ---------------------------------------------------------------------------
+# named presets (the reference named configs, config_updates.py:24-229)
+# ---------------------------------------------------------------------------
+Preset = Callable[[ExperimentConfig], ExperimentConfig]
+PRESETS: Dict[str, Dict[str, str]] = {
+    # debugging
+    "mini_train": {"trainer.limit_train_batches": "5", "trainer.limit_eval_batches": "5"},
+    "nomixup": {"trainer.use_mixup": "false"},
+    "mixupx": {"trainer.use_mixup": "true", "trainer.mixup_alpha": "0.3"},
+    "no_wavmix": {"data.wavmix": "false"},
+    "dynamic_roll": {"data.roll": "true"},
+    # pretrained archs (config_updates.py:55-134)
+    **{
+        name: {"model.arch": name, "model.pretrained": "true"}
+        for name in [
+            "passt_s_swa_p16_128_ap476",
+            "passt_s_swa_p16_128_ap4761",
+            "passt_s_p16_128_ap472",
+            "passt_s_kd_p16_128_ap486",
+            "passt_l_kd_p16_128_ap47",
+            "passt_s_p16_s16_128_ap468",
+            "passt_s_swa_p16_s16_128_ap473",
+            "passt_s_swa_p16_s14_128_ap471",
+            "passt_s_p16_s14_128_ap469",
+            "passt_s_swa_p16_s12_128_ap473",
+            "passt_s_p16_s12_128_ap470",
+        ]
+    },
+    # long-audio variants (config_updates.py:36-53)
+    "passt_20sec": {
+        "model.arch": "passt_s_f128_20sec_p16_s10_ap474",
+        "model.input_tdim": "2000",
+        "data.clip_length": "20",
+    },
+    "passt_30sec": {
+        "model.arch": "passt_s_f128_30sec_p16_s10_ap473",
+        "model.input_tdim": "3000",
+        "data.clip_length": "30",
+    },
+}
+
+
+def parse_cli(argv: List[str], base: ExperimentConfig) -> Tuple[str, ExperimentConfig]:
+    """``[command] [preset|key=value ...]`` -> (command, config).
+
+    Mirrors the reference CLI shape
+    ``python ex_audioset.py command with key=value named_config``
+    (README.md:154-175); the literal token "with" is accepted and skipped.
+    """
+    command = "main"
+    cfg = base
+    rest = list(argv)
+    if rest and "=" not in rest[0] and rest[0] not in PRESETS and rest[0] != "with":
+        command = rest.pop(0)
+    overrides: Dict[str, str] = {}
+    for tok in rest:
+        if tok == "with":
+            continue
+        if "=" in tok:
+            k, _, v = tok.partition("=")
+            overrides[k] = v
+        elif tok in PRESETS:
+            cfg = apply_overrides(cfg, PRESETS[tok])
+        else:
+            raise SystemExit(f"unknown preset or override: {tok!r}")
+    cfg = apply_overrides(cfg, overrides)
+    return command, cfg

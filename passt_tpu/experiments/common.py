@@ -1,0 +1,310 @@
+"""The experiment runner: config -> datasets -> loaders -> model -> commands.
+
+Mirrors the reference's L5 experiment surface (reference: ex_audioset.py and
+siblings): each experiment exposes the commands ``main`` (train),
+``evaluate_only``, ``model_speed_test``, ``test_loaders`` and
+``print_config`` (ex_audioset.py:336, 430, 365, 445; README.md:162) on top
+of a typed :class:`passt_tpu.config.ExperimentConfig`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from passt_tpu.config import ExperimentConfig, parse_cli
+from passt_tpu.data import (
+    ConcatDataset,
+    DataLoader,
+    HDF5AudioDataset,
+    MapDataset,
+    SequentialSampler,
+    ShuffleSampler,
+    WavMixDataset,
+    WeightedEpochSampler,
+    class_balanced_sample_weights,
+    roll_augment,
+)
+from passt_tpu.models.passt import init_passt
+from passt_tpu.ops.frontend import log_mel_spectrogram
+from passt_tpu.train.loop import MetricsLogger, evaluate, fit
+from passt_tpu.train.steps import (
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def build_train_dataset(cfg: ExperimentConfig):
+    d = cfg.data
+    if d.train_hdf5 is None:
+        raise FileNotFoundError(
+            "data.train_hdf5 is not set — point it at a packed HDF5 "
+            "(see passt_tpu.data.prepare)"
+        )
+    sets = [
+        HDF5AudioDataset(
+            d.train_hdf5,
+            sample_rate=d.sample_rate,
+            classes_num=d.num_classes,
+            clip_length=d.clip_length,
+            packed_targets=d.packed_targets,
+            gain_augment_db=d.gain_augment_db,
+            crop=d.crop,
+            seed=d.seed,
+        )
+    ]
+    if d.train_hdf5_extra:
+        sets.append(
+            HDF5AudioDataset(
+                d.train_hdf5_extra,
+                sample_rate=d.sample_rate,
+                classes_num=d.num_classes,
+                clip_length=d.clip_length,
+                packed_targets=d.packed_targets,
+                gain_augment_db=d.gain_augment_db,
+                crop=d.crop,
+                seed=d.seed + 1,
+            )
+        )
+    ds = sets[0] if len(sets) == 1 else ConcatDataset(sets)
+    if d.roll:
+        rng = np.random.default_rng(d.seed + 17)
+        shift = d.roll_shift_range
+
+        def roll_fn(item):
+            x, f, y = item
+            return roll_augment(x, shift, rng), f, y
+
+        ds = MapDataset(ds, roll_fn)
+    if d.wavmix:
+        ds = WavMixDataset(ds, merge_masks=d.merge_mask_wavmix, seed=d.seed + 31)
+    return ds
+
+
+def build_eval_dataset(cfg: ExperimentConfig, which: str = "eval"):
+    d = cfg.data
+    path = d.eval_hdf5 if which == "eval" else d.valid_hdf5
+    if path is None:
+        raise FileNotFoundError(f"data.{which}_hdf5 is not set")
+    return HDF5AudioDataset(
+        path,
+        sample_rate=d.sample_rate,
+        classes_num=d.num_classes,
+        clip_length=d.clip_length,
+        packed_targets=d.packed_targets,
+        crop="head",
+    )
+
+
+def build_train_loader(cfg: ExperimentConfig, dataset=None):
+    d = cfg.data
+    ds = dataset if dataset is not None else build_train_dataset(cfg)
+    if d.weighted_sampler:
+        import h5py
+
+        targets = []
+        for path in filter(None, [d.train_hdf5, d.train_hdf5_extra]):
+            with h5py.File(path, "r") as f:
+                t = f["target"][:]
+            if d.packed_targets:
+                t = np.unpackbits(t, axis=-1, count=d.num_classes)
+            targets.append(np.asarray(t, dtype=np.float32))
+        weights = class_balanced_sample_weights(np.concatenate(targets))
+        sampler = WeightedEpochSampler(
+            weights,
+            epoch_len=d.epoch_len,
+            replacement=d.sampler_replace,
+            num_replicas=d.num_replicas,
+            rank=d.rank,
+            seed=d.seed,
+        )
+    else:
+        sampler = ShuffleSampler(len(ds), d.num_replicas, d.rank, seed=d.seed)
+    return DataLoader(ds, d.batch_size, sampler, drop_last=True, prefetch=d.prefetch)
+
+
+def build_eval_loader(cfg: ExperimentConfig, which: str = "eval", batch_size=None):
+    ds = build_eval_dataset(cfg, which)
+    bs = batch_size or cfg.data.eval_batch_size
+    return DataLoader(ds, bs, SequentialSampler(len(ds)), prefetch=cfg.data.prefetch)
+
+
+@dataclasses.dataclass
+class Experiment:
+    """A named recipe: default config + command dispatch."""
+
+    name: str
+    default_config: ExperimentConfig
+    single_label: bool = False
+
+    # ------------------------------------------------------------------
+    def build(self, cfg: ExperimentConfig, rng: Optional[jax.Array] = None):
+        """(model, state, train_step, eval_step, tx) from a config."""
+        pcfg = cfg.passt_config()
+        steps_per_epoch = max(
+            1,
+            (cfg.trainer.limit_train_batches or (cfg.data.epoch_len // cfg.data.batch_size)),
+        )
+        tx = make_optimizer(
+            lr=cfg.trainer.lr,
+            weight_decay=cfg.trainer.weight_decay,
+            steps_per_epoch=steps_per_epoch,
+            schedule_mode=cfg.trainer.schedule_mode,
+            warm_up_len=cfg.trainer.warm_up_len,
+            ramp_down_start=cfg.trainer.ramp_down_start,
+            ramp_down_len=cfg.trainer.ramp_down_len,
+            last_lr_value=cfg.trainer.last_lr_value,
+        )
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.trainer.seed)
+        model, params = init_passt(pcfg, rng)
+        if cfg.model.pretrained:
+            from passt_tpu.models.pretrained import load_pretrained_params
+
+            if cfg.model.checkpoint_path is None:
+                raise FileNotFoundError(
+                    "model.pretrained=true requires model.checkpoint_path "
+                    "(no network in this environment)"
+                )
+            params = load_pretrained_params(cfg.model.checkpoint_path, pcfg, params)
+        state = TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
+        train_step = make_train_step(
+            model,
+            tx,
+            cfg.mel,
+            loss_type=cfg.trainer.loss_type,
+            use_mixup=cfg.trainer.use_mixup,
+            mixup_alpha=cfg.trainer.mixup_alpha,
+        )
+        eval_step = make_eval_step(model, cfg.mel, loss_type=cfg.trainer.loss_type)
+        return model, state, train_step, eval_step, tx
+
+    # ------------------------------------------------------------------
+    # commands
+    # ------------------------------------------------------------------
+    def main(self, cfg: ExperimentConfig) -> Dict:
+        """Train (the reference ``main`` command, ex_audioset.py:336-361)."""
+        model, state, train_step, eval_step, _ = self.build(cfg)
+        train_loader = build_train_loader(cfg)
+        val_loader = None
+        try:
+            val_loader = build_eval_loader(cfg)
+        except FileNotFoundError:
+            pass
+        logger = MetricsLogger(
+            path=(cfg.trainer.checkpoint_dir or ".") + f"/{self.name}_metrics.jsonl"
+            if cfg.trainer.checkpoint_dir
+            else None
+        )
+        result = fit(
+            train_step=train_step,
+            eval_step=eval_step,
+            state=state,
+            train_loader=train_loader,
+            val_loader=val_loader,
+            max_epochs=cfg.trainer.max_epochs,
+            base_rng=jax.random.PRNGKey(cfg.trainer.seed + 1),
+            swa_epoch_start=cfg.trainer.swa_epoch_start if cfg.trainer.swa else None,
+            swa_freq=cfg.trainer.swa_freq,
+            limit_train_batches=cfg.trainer.limit_train_batches,
+            limit_eval_batches=cfg.trainer.limit_eval_batches,
+            eval_every=cfg.trainer.eval_every,
+            log_every_steps=cfg.trainer.log_every_steps,
+            logger=logger,
+            checkpoint_dir=cfg.trainer.checkpoint_dir,
+            keep_last_n=cfg.trainer.keep_last_n,
+            single_label=self.single_label,
+        )
+        return {"done": True, "history": result.history}
+
+    def evaluate_only(self, cfg: ExperimentConfig) -> Dict:
+        """Evaluate a (pretrained) model (ex_audioset.py:430-441) — the
+        de-facto mAP-parity regression harness."""
+        model, state, _, eval_step, _ = self.build(cfg)
+        val_loader = build_eval_loader(cfg)
+        metrics = evaluate(
+            eval_step,
+            state.params,
+            val_loader,
+            cfg.trainer.limit_eval_batches,
+            self.single_label,
+        )
+        print({"validation": metrics})
+        return metrics
+
+    def model_speed_test(
+        self, cfg: ExperimentConfig, speed_test_batch_size: int = 12, test_length: int = 100
+    ) -> Dict:
+        """Training-throughput harness (ex_audioset.py:365-426): timed
+        fwd+loss+bwd+opt iterations on synthetic data, printed as
+        specs/second. Iterates inside one compiled loop (axon-tunnel-safe)."""
+        model, state, train_step_jit, _, tx = self.build(cfg)
+        raw_step = make_train_step(
+            model, tx, cfg.mel, loss_type=cfg.trainer.loss_type,
+            use_mixup=cfg.trainer.use_mixup, mixup_alpha=cfg.trainer.mixup_alpha,
+            jit=False,
+        )
+        b = speed_test_batch_size
+        x = jnp.ones((b, 1, cfg.model.input_fdim, cfg.model.input_tdim), jnp.float32)
+        n_out = cfg.model.n_classes * (2 if cfg.trainer.loss_type == "masked" else 1)
+        if self.single_label:
+            y = jnp.zeros((b,), jnp.int32)
+        else:
+            y = jnp.ones((b, n_out), jnp.float32)
+        rng = jax.random.PRNGKey(0)
+
+        def run_n(state, n):
+            def body(_, carry):
+                st, acc = carry
+                st, m = raw_step(st, {"mel": x, "target": y}, rng)
+                return st, acc + m["loss"]
+
+            return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+
+        fn = jax.jit(run_n, static_argnums=(1,), donate_argnums=(0,))
+        state, _ = fn(state, 10)  # warmup (ex_audioset.py:399 does 10 iters)
+        t0 = time.perf_counter()
+        state, loss = fn(state, test_length)
+        float(loss)
+        dt = time.perf_counter() - t0
+        speed = test_length * b / dt
+        print("average speed: ", speed, " specs/second")
+        return {"specs_per_second": speed}
+
+    def test_loaders(self, cfg: ExperimentConfig) -> Dict:
+        """Pull one batch from each loader (ex_audioset.py:444-456)."""
+        out = {}
+        for name, builder in [
+            ("training", lambda: build_train_loader(cfg)),
+            ("test", lambda: build_eval_loader(cfg)),
+        ]:
+            try:
+                loader = builder()
+                batch = next(iter(loader))
+                print(name, batch["wave"].shape, batch["target"].shape, batch["name"][:3])
+                out[name] = tuple(batch["wave"].shape)
+            except FileNotFoundError as e:
+                print(name, "skipped:", e)
+        return out
+
+    def print_config(self, cfg: ExperimentConfig) -> Dict:
+        print(cfg.pretty())
+        return {}
+
+    COMMANDS = ("main", "evaluate_only", "model_speed_test", "test_loaders", "print_config")
+
+
+def run_command(experiment: Experiment, argv) -> Dict:
+    command, cfg = parse_cli(list(argv), experiment.default_config)
+    if command not in experiment.COMMANDS:
+        raise SystemExit(
+            f"unknown command {command!r}; available: {experiment.COMMANDS}"
+        )
+    return getattr(experiment, command)(cfg)

@@ -1,0 +1,48 @@
+"""FSD50K recipe (reference: ex_fsd50k.py).
+
+Deltas vs AudioSet: 200 classes, patchout (10, 4), NO SpecAugment
+(freqm=timem=0), lr 1e-5, 50 epochs with rampdown start/len 10, SWA from
+epoch 10 every 3, shuffled training (no weighted sampler), random-crop to
+10 s in training (fsd50k/dataset.py:70-79), two eval sets (valid + eval;
+run ``evaluate_only eval_set=eval`` for the second), variable-length eval
+via ``data.clip_length=None data.eval_batch_size=1``.
+"""
+
+from passt_tpu.config import DataConfig, ExperimentConfig, MelConfig, ModelSelect, TrainerConfig
+from passt_tpu.experiments.common import Experiment
+
+experiment = Experiment(
+    name="fsd50k",
+    default_config=ExperimentConfig(
+        name="fsd50k",
+        model=ModelSelect(n_classes=200, s_patchout_t=10, s_patchout_f=4),
+        mel=MelConfig(freqm=0, timem=0, fmin_aug_range=10, fmax_aug_range=2000),
+        data=DataConfig(
+            num_classes=200,
+            clip_length=10,
+            batch_size=12,
+            eval_batch_size=10,
+            wavmix=True,
+            roll=True,
+            weighted_sampler=False,
+            crop="random",
+        ),
+        trainer=TrainerConfig(
+            max_epochs=50,
+            lr=1e-5,
+            ramp_down_start=10,
+            ramp_down_len=10,
+            loss_type="multilabel",
+            swa=True,
+            swa_epoch_start=10,
+            swa_freq=3,
+        ),
+    ),
+)
+
+if __name__ == "__main__":
+    import sys
+
+    from passt_tpu.experiments.common import run_command
+
+    run_command(experiment, sys.argv[1:])

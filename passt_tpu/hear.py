@@ -1,0 +1,111 @@
+"""HEAR-style inference API: waveform in, logits/embeddings out.
+
+The reference ecosystem ships `hear21passt` with this exact surface
+(reference README.md:48-65: ``load_model`` then ``model(wave[B, 32000*s])
+-> logits``, plus the HEAR-benchmark ``get_scene_embeddings`` /
+``get_timestamp_embeddings``). This module is the TPU-native equivalent:
+a :class:`Predictor` bundles frontend config + model + params behind one
+jitted waveform->output function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from passt_tpu.models.passt import PaSST, PaSSTConfig, init_passt
+from passt_tpu.ops.frontend import MelConfig, log_mel_spectrogram
+
+
+@dataclasses.dataclass
+class Predictor:
+    """Waveform-in inference bundle.
+
+    >>> p = Predictor.create(arch="passt_s_swa_p16_128_ap476",
+    ...                      checkpoint_path=".../ported.npz")
+    >>> logits = p(wave)              # [B, 527] AudioSet logits
+    >>> emb = p.scene_embeddings(wave)  # [B, 768]
+    """
+
+    model: PaSST
+    params: dict
+    mel_cfg: MelConfig
+    _apply: Optional[callable] = None
+
+    @classmethod
+    def create(
+        cls,
+        arch: str = "passt_s_swa_p16_128_ap476",
+        checkpoint_path: Optional[str] = None,
+        mel_cfg: MelConfig = MelConfig(),
+        dtype: str = "bfloat16",
+        **overrides,
+    ) -> "Predictor":
+        from passt_tpu.models.registry import get_model
+
+        model, params = get_model(
+            arch=arch,
+            pretrained=checkpoint_path is not None,
+            checkpoint_path=checkpoint_path,
+            dtype=dtype,
+            **overrides,
+        )
+        return cls(model=model, params=params, mel_cfg=mel_cfg)
+
+    def _fn(self):
+        if self._apply is None:
+            model, mel_cfg = self.model, self.mel_cfg
+            tdim = model.cfg.input_tdim
+
+            @jax.jit
+            def apply(params, wave):
+                mel = log_mel_spectrogram(wave, mel_cfg, train=False)
+                logits, feats = model.apply(
+                    {"params": params}, mel[:, None, :, :tdim], train=False
+                )
+                return logits, feats
+
+            object.__setattr__(self, "_apply", apply)
+        return self._apply
+
+    def __call__(self, wave) -> jnp.ndarray:
+        """[B, T] float32 waveform at 32 kHz -> [B, num_classes] logits."""
+        logits, _ = self._fn()(self.params, jnp.asarray(wave))
+        return logits
+
+    def logits_and_features(self, wave) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self._fn()(self.params, jnp.asarray(wave))
+
+    # ---- HEAR benchmark surface -----------------------------------------
+    def scene_embeddings(self, wave) -> jnp.ndarray:
+        """[B, T] -> [B, D] clip-level embedding (the averaged CLS/DIST
+        features, hear21passt get_scene_embeddings)."""
+        _, feats = self._fn()(self.params, jnp.asarray(wave))
+        return feats
+
+    def timestamp_embeddings(
+        self, wave, window_seconds: float = 0.16, hop_seconds: float = 0.05
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """[B, T] -> ([B, N, D] embeddings, [N] timestamps in ms):
+        sliding-window scene embeddings (hear21passt
+        get_timestamp_embeddings semantics: short windows centered on a
+        regular timestamp grid)."""
+        wave = jnp.asarray(wave)
+        sr = self.mel_cfg.sr
+        win = int(window_seconds * sr)
+        hop = int(hop_seconds * sr)
+        b, t = wave.shape
+        centers = np.arange(win // 2, t - win // 2, hop)
+        windows = []
+        for c in centers:
+            windows.append(wave[:, c - win // 2 : c + win // 2])
+        stacked = jnp.stack(windows, axis=1).reshape(b * len(centers), win)
+        _, feats = self._fn()(self.params, stacked)
+        feats = feats.reshape(b, len(centers), -1)
+        timestamps = jnp.asarray(centers / sr * 1000.0)
+        return feats, timestamps

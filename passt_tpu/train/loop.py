@@ -1,0 +1,229 @@
+"""The training/eval orchestration loop — the reference's PL Trainer + `M`
+LightningModule + callbacks collapsed into one explicit loop.
+
+Covers (reference file:line):
+- epoch loop with per-epoch sampler reseed (trainer
+  ``reload_dataloaders_every_epoch=True``, ex_audioset.py:75),
+- train steps fully on device; scalar loss fetched only every
+  ``log_every_steps`` (the axon tunnel makes per-step sync expensive),
+- validation with per-class AP / ROC-AUC and the 'allap' all-ranks metric
+  (ex_audioset.py:245-291) — under jit+GSPMD the gather is implicit,
+- SWA running average on epoch boundaries + separate eval of the averaged
+  weights (helpers/swa_callback.py; validation_step eval of net_swa,
+  ex_audioset.py:231-243),
+- checkpointing (orbax) with keep-last-N (ModelCheckpoint at
+  ex_audioset.py:315-319) and resume,
+- JSONL metrics logging (replaces wandb/sacred observers; a wandb hook can
+  be layered on where available).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from passt_tpu.train.metrics import mean_average_precision, roc_auc
+from passt_tpu.train.steps import TrainState
+from passt_tpu.train.swa import SWAState, swa_init, swa_should_update, swa_update
+
+
+class MetricsLogger:
+    """JSONL + stdout metrics sink."""
+
+    def __init__(self, path: Optional[str] = None, quiet: bool = False):
+        self.path = path
+        self.quiet = quiet
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def log(self, record: Dict[str, Any]) -> None:
+        record = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
+        if self._f:
+            self._f.write(json.dumps(record) + "\n")
+            self._f.flush()
+        if not self.quiet:
+            parts = " ".join(
+                f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()
+            )
+            print(parts, flush=True)
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+def evaluate(
+    eval_step: Callable,
+    params,
+    loader,
+    limit_batches: Optional[int] = None,
+    single_label: bool = False,
+) -> Dict[str, float]:
+    """Run the eval loader, compute loss + AP/ROC (multilabel) or accuracy
+    (single-label) on host — reference validation_epoch_end
+    (ex_audioset.py:245-291; esc50 accuracy variant ex_esc50.py)."""
+    outs: List[np.ndarray] = []
+    targets: List[np.ndarray] = []
+    losses: List[float] = []
+    for i, batch in enumerate(loader):
+        if limit_batches is not None and i >= limit_batches:
+            break
+        dev_batch = {
+            "wave": jnp.asarray(batch["wave"]),
+            "target": jnp.asarray(
+                batch["target"].astype(np.int32 if single_label else np.float32)
+            ),
+        }
+        res = eval_step(params, dev_batch)
+        outs.append(np.asarray(res["out"]))
+        targets.append(np.asarray(batch["target"]))
+        losses.append(float(res["loss"]))
+    out = np.concatenate(outs)
+    target = np.concatenate(targets)
+    metrics: Dict[str, float] = {"val_loss": float(np.mean(losses)), "n_eval": len(out)}
+    if single_label:
+        metrics["accuracy"] = float((out.argmax(axis=1) == target.reshape(-1)).mean())
+    else:
+        metrics["ap"] = mean_average_precision(target, out)
+        try:
+            metrics["roc"] = float(np.nanmean(roc_auc(target, out)))
+        except Exception:
+            pass
+        metrics["allap"] = metrics["ap"]  # single-controller: ap == allap
+    return metrics
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    swa: Optional[SWAState]
+    history: List[Dict[str, float]]
+
+
+def fit(
+    *,
+    train_step: Callable,
+    eval_step: Callable,
+    state: TrainState,
+    train_loader,
+    val_loader=None,
+    max_epochs: int,
+    base_rng: jax.Array,
+    swa_epoch_start: Optional[int] = None,
+    swa_freq: int = 5,
+    limit_train_batches: Optional[int] = None,
+    limit_eval_batches: Optional[int] = None,
+    eval_every: int = 1,
+    log_every_steps: int = 50,
+    logger: Optional[MetricsLogger] = None,
+    checkpoint_dir: Optional[str] = None,
+    keep_last_n: int = 1,
+    single_label: bool = False,
+    start_epoch: int = 0,
+    device_put: Callable = jnp.asarray,
+) -> FitResult:
+    logger = logger or MetricsLogger()
+    swa_state = None
+    history: List[Dict[str, float]] = []
+
+    ckpt_mgr = None
+    if checkpoint_dir:
+        import orbax.checkpoint as ocp
+
+        ckpt_mgr = ocp.CheckpointManager(
+            os.path.abspath(checkpoint_dir),
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep_last_n),
+        )
+
+    for epoch in range(start_epoch, max_epochs):
+        train_loader.set_epoch(epoch)
+        t_epoch = time.time()
+        n_batches = 0
+        pending_loss = None
+        for i, batch in enumerate(train_loader):
+            if limit_train_batches is not None and i >= limit_train_batches:
+                break
+            dev_batch = {
+                "wave": device_put(batch["wave"]),
+                "target": device_put(
+                    batch["target"].astype(np.int32 if single_label else np.float32)
+                ),
+            }
+            state, metrics = train_step(state, dev_batch, base_rng)
+            n_batches += 1
+            pending_loss = metrics["loss"]
+            if (i + 1) % log_every_steps == 0:
+                logger.log(
+                    {"epoch": epoch, "step": int(state.step), "loss": float(pending_loss)}
+                )
+        epoch_time = time.time() - t_epoch
+
+        record: Dict[str, float] = {
+            "epoch": epoch,
+            "step": int(state.step),
+            "epoch_time_s": round(epoch_time, 2),
+        }
+        if pending_loss is not None:
+            record["train_loss"] = float(pending_loss)
+
+        # SWA (helpers/swa_callback.py semantics; averaged on epoch end).
+        if swa_epoch_start is not None:
+            if swa_state is None:
+                swa_state = swa_init(state.params, swa_epoch_start, swa_freq)
+            if swa_should_update(swa_state, epoch):
+                swa_state = swa_update(swa_state, state.params)
+                record["swa_n"] = swa_state.n_averaged
+
+        if val_loader is not None and (epoch + 1) % eval_every == 0:
+            em = evaluate(eval_step, state.params, val_loader, limit_eval_batches, single_label)
+            record.update(em)
+            if swa_state is not None and swa_state.n_averaged > 0:
+                sm = evaluate(
+                    eval_step, swa_state.avg_params, val_loader, limit_eval_batches, single_label
+                )
+                record.update({f"swa_{k}": v for k, v in sm.items()})
+
+        logger.log(record)
+        history.append(record)
+
+        if ckpt_mgr is not None:
+            payload = {"params": state.params, "opt_state": state.opt_state,
+                       "step": state.step}
+            if swa_state is not None:
+                payload["swa_params"] = swa_state.avg_params
+                payload["swa_n"] = jnp.int32(swa_state.n_averaged)
+            import orbax.checkpoint as ocp
+
+            ckpt_mgr.save(epoch, args=ocp.args.StandardSave(payload))
+
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait_until_finished()
+    return FitResult(state=state, swa=swa_state, history=history)
+
+
+def restore_checkpoint(checkpoint_dir: str, state: TrainState, step: Optional[int] = None):
+    """Restore the latest (or given) epoch checkpoint into a TrainState
+    template. Returns (state, swa_params_or_None, epoch)."""
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+    epoch = step if step is not None else mgr.latest_step()
+    if epoch is None:
+        raise FileNotFoundError(f"no checkpoints in {checkpoint_dir}")
+    template = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    restored = mgr.restore(epoch, args=ocp.args.StandardRestore(template))
+    new_state = TrainState(
+        params=restored["params"], opt_state=restored["opt_state"], step=restored["step"]
+    )
+    return new_state, restored.get("swa_params"), epoch

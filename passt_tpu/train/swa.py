@@ -27,8 +27,13 @@ class SWAState:
 
 
 def swa_init(params, swa_epoch_start: int = 50, swa_freq: int = 5) -> SWAState:
+    # Deep-copy the device buffers: the live params are donated (and their
+    # buffers invalidated) by the next train step, so the average must not
+    # alias them.
+    import jax.numpy as jnp
+
     return SWAState(
-        avg_params=jax.tree.map(lambda x: x, params),
+        avg_params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
         n_averaged=0,
         swa_epoch_start=swa_epoch_start,
         swa_freq=swa_freq,
@@ -50,8 +55,10 @@ def swa_update(state: SWAState, params) -> SWAState:
     def upd(avg, p):
         return avg + (p - avg) / (n + 1.0)
 
+    import jax.numpy as jnp
+
     if n == 0:
-        new_avg = jax.tree.map(lambda a, p: p, state.avg_params, params)
+        new_avg = jax.tree.map(lambda a, p: jnp.array(p, copy=True), state.avg_params, params)
     else:
         new_avg = jax.tree.map(upd, state.avg_params, params)
     return state.replace(avg_params=new_avg, n_averaged=n + 1)

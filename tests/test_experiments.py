@@ -1,0 +1,157 @@
+"""End-to-end experiment tests: config CLI parsing, loaders, mini-train
+through the real recipe path on synthetic HDF5 data (the reference's
+`mini_train` + `test_loaders` diagnostics, config_updates.py:24-26,
+ex_audioset.py:444-456)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from passt_tpu.config import ExperimentConfig, PRESETS, apply_overrides, parse_cli
+from passt_tpu.data.prepare import pack_waveform_hdf5
+from passt_tpu.experiments import EXPERIMENTS
+from passt_tpu.experiments.common import run_command
+
+
+def test_cli_parsing_and_overrides():
+    base = EXPERIMENTS["audioset"].default_config
+    cmd, cfg = parse_cli(
+        ["evaluate_only", "with", "trainer.lr=1e-4", "data.batch_size=24", "mini_train"],
+        base,
+    )
+    assert cmd == "evaluate_only"
+    assert cfg.trainer.lr == pytest.approx(1e-4)
+    assert cfg.data.batch_size == 24
+    assert cfg.trainer.limit_train_batches == 5
+    # unknown key raises with candidates
+    with pytest.raises(KeyError, match="unknown config key"):
+        apply_overrides(base, {"trainer.nope": "1"})
+    with pytest.raises(SystemExit):
+        parse_cli(["main", "not_a_preset"], base)
+
+
+def test_arch_presets_update_model():
+    base = EXPERIMENTS["audioset"].default_config
+    _, cfg = parse_cli(["main", "passt_l_kd_p16_128_ap47"], base)
+    assert cfg.model.arch == "passt_l_kd_p16_128_ap47"
+    assert cfg.model.pretrained is True
+    _, cfg = parse_cli(["main", "passt_30sec"], base)
+    assert cfg.model.input_tdim == 3000
+    assert cfg.data.clip_length == 30
+
+
+def test_default_configs_match_reference_recipes():
+    """Spot-check the recipe deltas against the reference ex_* defaults."""
+    a = EXPERIMENTS["audioset"].default_config
+    assert (a.model.s_patchout_t, a.model.s_patchout_f) == (40, 4)  # ex_audioset.py:62
+    assert a.trainer.max_epochs == 130 and a.trainer.lr == 2e-5
+    assert (a.trainer.swa_epoch_start, a.trainer.swa_freq) == (50, 5)
+    e = EXPERIMENTS["esc50"].default_config
+    assert e.model.n_classes == 50 and e.mel.timem == 80  # ex_esc50.py:59-65
+    assert (e.trainer.swa_epoch_start, e.trainer.swa_freq) == (2, 1)
+    f = EXPERIMENTS["fsd50k"].default_config
+    assert f.mel.freqm == 0 and f.mel.timem == 0  # ex_fsd50k.py:72-73
+    assert f.trainer.ramp_down_start == 10  # ex_fsd50k.py:94
+    assert f.data.crop == "random"  # fsd50k/dataset.py:70-79
+    o = EXPERIMENTS["openmic"].default_config
+    assert o.data.batch_size == 6 and o.trainer.loss_type == "masked"
+    assert o.data.merge_mask_wavmix
+
+
+def _make_synth(tmp_path, rng_np, n=24, classes=8, single_label=False, with_mask=False):
+    items = []
+    for i in range(n):
+        wave = (rng_np.standard_normal(32000) * 0.1).astype(np.float32)
+        if single_label:
+            target = np.asarray(i % classes)
+        elif with_mask:
+            t = np.zeros(2 * classes)
+            t[i % classes] = 1.0
+            t[classes:] = 1.0
+            target = t
+        else:
+            target = np.zeros(classes)
+            target[i % classes] = 1
+        items.append((f"c{i}.wav", wave, target))
+    path = str(tmp_path / ("synth.h5"))
+    pack_waveform_hdf5(path, items, packed_targets=not (single_label or with_mask))
+    return path
+
+
+def _shrink(cfg: ExperimentConfig, path: str, classes: int) -> ExperimentConfig:
+    """Small model + synthetic data for a fast end-to-end run."""
+    return apply_overrides(
+        cfg,
+        {
+            "model.input_fdim": "128",
+            "model.input_tdim": "98",
+            "model.s_patchout_t": "2",
+            "model.s_patchout_f": "1",
+            "model.u_patchout": "2",
+            "model.dtype": "float32",
+            "data.train_hdf5": path,
+            "data.eval_hdf5": path,
+            "data.clip_length": "1",
+            "data.batch_size": "4",
+            "data.eval_batch_size": "4",
+            "data.epoch_len": "8",
+            "trainer.max_epochs": "2",
+            "trainer.lr": "1e-3",
+            "trainer.limit_train_batches": "2",
+            "trainer.limit_eval_batches": "2",
+            "trainer.swa_epoch_start": "0",
+            "trainer.swa_freq": "1",
+            "trainer.log_every_steps": "1000",
+        },
+    )
+
+
+def _tiny_model_cfg(cfg):
+    # shrink the transformer itself via the arch-independent knobs
+    object.__setattr__  # (frozen dataclass: use replace chains instead)
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, arch=cfg.model.arch),
+    )
+
+
+@pytest.mark.parametrize("name", ["audioset", "esc50", "openmic", "fsd50k"])
+def test_experiment_mini_train(name, tmp_path, rng_np, monkeypatch):
+    exp = EXPERIMENTS[name]
+    classes = exp.default_config.model.n_classes
+    single = exp.single_label
+    masked = exp.default_config.trainer.loss_type == "masked"
+    path = _make_synth(
+        tmp_path, rng_np, classes=min(classes, 8) if False else classes,
+        single_label=single, with_mask=masked,
+    )
+    cfg = _shrink(exp.default_config, path, classes)
+    # make the net tiny for test speed: depth 2, dim 64
+    import passt_tpu.models.registry as registry
+
+    spec = registry.ARCHS[cfg.model.arch]
+    monkeypatch.setitem(
+        registry.ARCHS,
+        cfg.model.arch,
+        dataclasses.replace(spec, depth=2, embed_dim=64, num_heads=4),
+    )
+    result = exp.main(cfg)
+    assert result["done"] is True
+    hist = result["history"]
+    assert len(hist) == 2
+    assert np.isfinite(hist[-1]["train_loss"])
+    key = "accuracy" if single else "ap"
+    assert key in hist[-1]
+    assert f"swa_{key}" in hist[-1]  # SWA evaluated alongside
+
+
+def test_test_loaders_and_print_config(tmp_path, rng_np, capsys):
+    exp = EXPERIMENTS["audioset"]
+    path = _make_synth(tmp_path, rng_np, classes=527)
+    cfg = _shrink(exp.default_config, path, 527)
+    out = exp.test_loaders(cfg)
+    assert out["training"] == (4, 32000)
+    exp.print_config(cfg)
+    captured = capsys.readouterr().out
+    assert '"batch_size": 4' in captured

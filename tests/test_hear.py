@@ -1,0 +1,51 @@
+"""hear21passt-style inference API tests (reference README.md:48-65)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+import passt_tpu.models.registry as registry
+from passt_tpu.hear import Predictor
+from passt_tpu.ops.frontend import MelConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_predictor():
+    spec = registry.ARCHS["passt_s_swa_p16_128_ap476"]
+    tiny = dataclasses.replace(spec, depth=2, embed_dim=64, num_heads=4)
+    old = registry.ARCHS["passt_s_swa_p16_128_ap476"]
+    registry.ARCHS["passt_s_swa_p16_128_ap476"] = tiny
+    try:
+        yield Predictor.create(
+            arch="passt_s_swa_p16_128_ap476", dtype="float32", input_tdim=98
+        )
+    finally:
+        registry.ARCHS["passt_s_swa_p16_128_ap476"] = old
+
+
+def test_waveform_to_logits(tiny_predictor, rng_np):
+    wave = rng_np.standard_normal((2, 32000)).astype(np.float32)
+    logits = tiny_predictor(wave)
+    assert logits.shape == (2, 527)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_scene_embeddings(tiny_predictor, rng_np):
+    wave = rng_np.standard_normal((2, 32000)).astype(np.float32)
+    emb = tiny_predictor.scene_embeddings(wave)
+    assert emb.shape == (2, 64)
+    logits, feats = tiny_predictor.logits_and_features(wave)
+    np.testing.assert_array_equal(np.asarray(emb), np.asarray(feats))
+
+
+def test_timestamp_embeddings(tiny_predictor, rng_np):
+    wave = rng_np.standard_normal((1, 32000)).astype(np.float32)
+    emb, ts = tiny_predictor.timestamp_embeddings(wave, window_seconds=0.5, hop_seconds=0.25)
+    assert emb.shape[0] == 1 and emb.shape[2] == 64
+    assert emb.shape[1] == len(ts)
+    ts = np.asarray(ts)
+    assert (np.diff(ts) > 0).all()  # monotonically increasing, in ms
+    assert ts[0] >= 0 and ts[-1] <= 1000.0

@@ -1,0 +1,79 @@
+"""Native host-plane tests: build the C++ library and verify each op
+against the pure-numpy behavioral reference in passt_tpu.data.datasets."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from passt_tpu.data import native
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_lib():
+    subprocess.run(["make", "-C", "native", "-s"], check=True, cwd="/root/repo")
+    lib = native.load(n_threads=2)
+    assert lib is not None
+    assert lib.hostplane_version() == 1
+    return lib
+
+
+def test_assemble_pad_and_truncate(rng_np):
+    items = [
+        (rng_np.standard_normal(1000) * 1000).astype(np.int16),  # shorter -> pad
+        (rng_np.standard_normal(3000) * 1000).astype(np.int16),  # longer -> head cut
+    ]
+    out = native.assemble_batch(items, clip_samples=2000)
+    assert out.shape == (2, 2000)
+    np.testing.assert_allclose(out[0, :1000], items[0] / 32768.0, atol=1e-7)
+    assert (out[0, 1000:] == 0).all()
+    np.testing.assert_allclose(out[1], items[1][:2000] / 32768.0, atol=1e-7)
+
+
+def test_assemble_gain_roll_crop_deterministic(rng_np):
+    items = [(rng_np.standard_normal(5000) * 1000).astype(np.int16) for _ in range(4)]
+    a = native.assemble_batch(items, 3000, gain_db=7, roll_range=50, random_crop=True, seed=9)
+    b = native.assemble_batch(items, 3000, gain_db=7, roll_range=50, random_crop=True, seed=9)
+    np.testing.assert_array_equal(a, b)  # deterministic in seed
+    c = native.assemble_batch(items, 3000, gain_db=7, roll_range=50, random_crop=True, seed=10)
+    assert not np.array_equal(a, c)
+    # gain stays within +/-7 dB of the un-gained crop norm
+    plain = native.assemble_batch(items, 3000, seed=9)
+    ratio = np.linalg.norm(a[0]) / np.linalg.norm(plain[0])
+    assert 10 ** (-7.5 / 20) < ratio < 10 ** (7.5 / 20)
+
+
+def test_roll_is_circular(rng_np):
+    item = (rng_np.standard_normal(100) * 1000).astype(np.int16)
+    out = native.assemble_batch([item], 100, roll_range=30, seed=3)
+    ref = item.astype(np.float32) / 32768.0
+    # some circular shift of ref must match exactly
+    matches = [s for s in range(-30, 31) if np.allclose(np.roll(ref, s), out[0], atol=1e-7)]
+    assert len(matches) >= 1
+
+
+def test_wavmix_matches_numpy(rng_np):
+    b, t = 3, 500
+    x = rng_np.standard_normal((b, t)).astype(np.float32)
+    y = rng_np.standard_normal((b, t)).astype(np.float32)
+    lam = np.asarray([0.7, 0.9, 0.6], np.float32)
+    apply = np.asarray([1, 0, 1], np.uint8)
+    got = x.copy()
+    native.wavmix(got, y, lam, apply)
+    for i in range(b):
+        if not apply[i]:
+            np.testing.assert_array_equal(got[i], x[i])
+            continue
+        xi = x[i] - x[i].mean()
+        yi = y[i] - y[i].mean()
+        ref = xi * lam[i] + yi * (1 - lam[i])
+        ref = ref - ref.mean()
+        np.testing.assert_allclose(got[i], ref, atol=1e-5)
+
+
+def test_unpack_targets_matches_numpy(rng_np):
+    targets = (rng_np.uniform(size=(10, 527)) < 0.1).astype(np.uint8)
+    packed = np.packbits(targets, axis=-1)
+    got = native.unpack_targets(packed, 527)
+    ref = np.unpackbits(packed, axis=-1, count=527).astype(np.float32)
+    np.testing.assert_array_equal(got, ref)
