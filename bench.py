@@ -60,14 +60,16 @@ def main():
 
     fn = jax.jit(run_n, donate_argnums=(0,))
 
-    # Compile + warmup (donation: keep a fresh state for the timed run).
-    state2, _ = fn(state, wave, target)
-    t0 = time.perf_counter()
-    state3, loss_sum = fn(state2, wave, target)
-    loss = float(loss_sum) / steps  # forces full sync
-    dt = time.perf_counter() - t0
+    # Compile + warmup (donation: the returned state feeds the next call).
+    state, _ = fn(state, wave, target)
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, loss_sum = fn(state, wave, target)
+        float(loss_sum)  # forces full sync
+        best_dt = min(best_dt, time.perf_counter() - t0)
 
-    specs_per_sec = steps * batch_size / dt
+    specs_per_sec = steps * batch_size / best_dt
     print(
         json.dumps(
             {

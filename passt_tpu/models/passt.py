@@ -73,6 +73,7 @@ class PaSSTConfig:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     dtype: str = "float32"  # computation dtype ("bfloat16" for training)
+    remat: bool = False  # rematerialize blocks in backward (HBM-traffic relief)
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -332,8 +333,11 @@ class PaSST(nn.Module):
 
         # Stochastic-depth decay rule (reference passt.py:444).
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        # On TPU the training step is HBM-bandwidth-bound; remat trades
+        # (cheap) recompute for not saving per-block activations.
+        block_cls = nn.remat(Block, static_argnums=(2,)) if cfg.remat else Block
         for i in range(cfg.depth):
-            x = Block(
+            x = block_cls(
                 d, cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias,
                 cfg.drop_rate, cfg.attn_drop_rate, float(dpr[i]),
                 dtype=dtype, name=f"blocks_{i}",

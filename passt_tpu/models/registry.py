@@ -205,6 +205,87 @@ def lighten_params(params: dict, cut_depth: int) -> Tuple[dict, int]:
     return out, len(keep)
 
 
+#: Published ensemble recipes: name -> ([(arch, fstride, tstride), ...], mAP)
+#: (reference config_updates.py:136-222; README.md:313-326).
+ENSEMBLES: Dict[str, Tuple[List[Tuple[str, int, int]], float]] = {
+    "ensemble_s10": (
+        [
+            ("passt_s_swa_p16_128_ap476", 10, 10),
+            ("passt_s_swa_p16_128_ap4761", 10, 10),
+            ("passt_s_p16_128_ap472", 10, 10),
+        ],
+        0.4864,
+    ),
+    "ensemble_many": (
+        [
+            ("passt_s_swa_p16_128_ap476", 10, 10),
+            ("passt_s_swa_p16_128_ap4761", 10, 10),
+            ("passt_s_p16_128_ap472", 10, 10),
+            ("passt_s_p16_s12_128_ap470", 12, 12),
+            ("passt_s_swa_p16_s12_128_ap473", 12, 12),
+            ("passt_s_p16_s14_128_ap469", 14, 14),
+            ("passt_s_swa_p16_s14_128_ap471", 14, 14),
+            ("passt_s_swa_p16_s16_128_ap473", 16, 16),
+            ("passt_s_p16_s16_128_ap468", 16, 16),
+        ],
+        0.4956,
+    ),
+    "ensemble_4": (
+        [
+            ("passt_s_swa_p16_128_ap476", 10, 10),
+            ("passt_s_swa_p16_s12_128_ap473", 12, 12),
+            ("passt_s_swa_p16_s14_128_ap471", 14, 14),
+            ("passt_s_swa_p16_s16_128_ap473", 16, 16),
+        ],
+        0.4926,
+    ),
+    "ensemble_5": (
+        [
+            ("passt_s_swa_p16_128_ap476", 10, 10),
+            ("passt_s_swa_p16_128_ap4761", 10, 10),
+            ("passt_s_swa_p16_s12_128_ap473", 12, 12),
+            ("passt_s_swa_p16_s14_128_ap471", 14, 14),
+            ("passt_s_swa_p16_s16_128_ap473", 16, 16),
+        ],
+        0.49459,
+    ),
+    "ensemble_s16_14": (
+        [
+            ("passt_s_swa_p16_s14_128_ap471", 14, 14),
+            ("passt_s_swa_p16_s16_128_ap473", 16, 16),
+        ],
+        0.48579,
+    ),
+}
+
+
+def get_ensemble_model(
+    arch_list: Sequence[Tuple[str, int, int]],
+    rng: Optional[jax.Array] = None,
+    checkpoint_paths: Optional[Sequence[Optional[str]]] = None,
+    **overrides,
+):
+    """Build [(model, params), ...] for an ensemble spec — the reference
+    ``get_ensemble_model`` (passt.py:1039-1045). Apply with
+    :func:`ensemble_apply`."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    out = []
+    for i, (arch, fstride, tstride) in enumerate(arch_list):
+        path = checkpoint_paths[i] if checkpoint_paths else None
+        out.append(
+            get_model(
+                arch=arch,
+                pretrained=path is not None,
+                checkpoint_path=path,
+                rng=jax.random.fold_in(rng, i),
+                fstride=fstride,
+                tstride=tstride,
+                **overrides,
+            )
+        )
+    return out
+
+
 def ensemble_apply(models_and_params: Sequence[Tuple[PaSST, dict]], x: jnp.ndarray):
     """Average the logits of independently constructed models — the reference
     ``EnsembelerModel`` (passt.py:1021-1036): returns (mean_logits,

@@ -1,0 +1,65 @@
+"""Offline-prep metadata parsing tests (synthetic CSVs)."""
+
+import numpy as np
+
+from passt_tpu.data.prepare.metadata import (
+    load_class_labels_indices,
+    load_fsd50k_vocabulary,
+    openmic_targets,
+    parse_audioset_segments_csv,
+    parse_esc50_meta,
+    parse_fsd50k_csv,
+)
+
+
+def test_audioset_csv(tmp_path):
+    labels = tmp_path / "class_labels_indices.csv"
+    labels.write_text("index,mid,display_name\n0,/m/09x0r,Speech\n1,/m/05zppz,Male\n")
+    seg = tmp_path / "balanced.csv"
+    seg.write_text(
+        "# comment\n# another\n"
+        '--aE2O5G5WE, 0.000, 10.000, "/m/09x0r,/m/05zppz"\n'
+        '--aaaaaaaaa, 1.000, 11.000, "/m/09x0r"\n'
+    )
+    m2i = load_class_labels_indices(str(labels))
+    files, y = parse_audioset_segments_csv(str(seg), m2i, num_classes=4)
+    assert files == ["--aE2O5G5WE_0_10000.wav", "--aaaaaaaaa_1000_11000.wav"]
+    np.testing.assert_array_equal(y, [[1, 1, 0, 0], [1, 0, 0, 0]])
+
+
+def test_fsd50k_csv(tmp_path):
+    vocab = tmp_path / "vocabulary.csv"
+    vocab.write_text("0,Bark,/m/05tny_\n1,Meow,/m/07qrkrw\n")
+    dev = tmp_path / "dev.csv"
+    dev.write_text(
+        "fname,labels,mids,split\n"
+        "1001,Bark,/m/05tny_,train\n"
+        '1002,"Bark,Meow","/m/05tny_,/m/07qrkrw",val\n'
+    )
+    v = load_fsd50k_vocabulary(str(vocab))
+    files, y = parse_fsd50k_csv(str(dev), v, split="train")
+    assert files == ["1001.wav"]
+    np.testing.assert_array_equal(y, [[1, 0]])
+    files, y = parse_fsd50k_csv(str(dev), v, split="val")
+    assert files == ["1002.wav"]
+    np.testing.assert_array_equal(y, [[1, 1]])
+
+
+def test_esc50_meta(tmp_path):
+    meta = tmp_path / "esc50.csv"
+    meta.write_text(
+        "filename,fold,target,category\n"
+        "a.wav,1,0,dog\nb.wav,2,5,cat\nc.wav,1,3,rain\nd.wav,3,5,cat\n"
+    )
+    train_f, train_y = parse_esc50_meta(str(meta), fold=1, train=True)
+    test_f, test_y = parse_esc50_meta(str(meta), fold=1, train=False)
+    assert train_f == ["b.wav", "d.wav"] and list(train_y) == [5, 5]
+    assert test_f == ["a.wav", "c.wav"] and list(test_y) == [0, 3]
+
+
+def test_openmic_targets():
+    y_true = np.asarray([[0.9, 0.1], [0.2, 0.8]])
+    y_mask = np.asarray([[1, 0], [1, 1]])
+    t = openmic_targets(y_true, y_mask)
+    assert t.shape == (2, 4)
+    np.testing.assert_allclose(t[0], [0.9, 0.1, 1, 0])

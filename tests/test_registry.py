@@ -1,0 +1,91 @@
+"""Registry surface tests: arch dispatch, lighten, ensembles, zoo metadata."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import passt_tpu.models.registry as registry
+from passt_tpu.models.passt import PaSST, PaSSTConfig, init_passt
+from passt_tpu.models.registry import (
+    ARCHS,
+    DEFAULT_CFGS,
+    ENSEMBLES,
+    ensemble_apply,
+    get_model_config,
+    lighten_params,
+)
+
+
+def test_zoo_covers_reference_checkpoints():
+    # 17 PaSST checkpoints + the DeiT start point (reference passt.py:175-242)
+    passt_entries = [k for k in DEFAULT_CFGS if "passt" in k or "openmic" in k]
+    assert len(passt_entries) == 17
+    for name, cfg in DEFAULT_CFGS.items():
+        assert cfg["url"].startswith("https://")
+        assert cfg["num_classes"] in (527, 20, 1000)
+
+
+def test_arch_dispatch_and_stride_warning():
+    cfg = get_model_config("passt_s_swa_p16_128_ap476")
+    assert cfg.depth == 12 and cfg.stride == (10, 10)
+    cfg = get_model_config("passt_l_kd_p16_128_ap47")
+    assert cfg.depth == 7
+    with pytest.warns(UserWarning, match="pre-trained with strides"):
+        get_model_config("passt_s_swa_p16_s16_128_ap473", fstride=10, tstride=10)
+    with pytest.raises(RuntimeError, match="Unknown model"):
+        get_model_config("nope")
+
+
+def test_lighten_params():
+    """lighten_model semantics (reference passt.py:932-954): keep block 0 +
+    blocks[cut+1:]; negative keeps strided interior."""
+    params = {f"blocks_{i}": {"w": jnp.asarray(float(i))} for i in range(12)}
+    params["norm"] = {"scale": jnp.asarray(1.0)}
+    out, depth = lighten_params(params, 5)
+    assert depth == 7  # PaSST-L
+    kept = [float(out[f"blocks_{i}"]["w"]) for i in range(depth)]
+    assert kept == [0.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0]
+    assert "norm" in out and "blocks_7" not in out
+    with pytest.raises(ValueError):
+        lighten_params(params, 11)
+    out_neg, depth_neg = lighten_params(params, -2)
+    kept = [float(out_neg[f"blocks_{i}"]["w"]) for i in range(depth_neg)]
+    assert kept[0] == 0.0 and kept[-1] == 11.0
+    same, d0 = lighten_params(params, 0)
+    assert d0 == 12 and same is params
+
+
+def test_lighten_then_forward():
+    cfg = PaSSTConfig(input_fdim=32, input_tdim=50, embed_dim=64, depth=4, num_heads=4, num_classes=8)
+    model, params = init_passt(cfg, jax.random.PRNGKey(0))
+    new_params, new_depth = lighten_params(params, 2)
+    small = PaSST(dataclasses.replace(cfg, depth=new_depth))
+    x = jnp.ones((1, 1, 32, 50))
+    logits, _ = small.apply({"params": new_params}, x, train=False)
+    assert logits.shape == (1, 8)
+
+
+def test_ensemble_specs_match_reference():
+    assert ENSEMBLES["ensemble_many"][1] == 0.4956
+    assert len(ENSEMBLES["ensemble_many"][0]) == 9
+    assert len(ENSEMBLES["ensemble_5"][0]) == 5
+    strides = {s for _, s, _ in ENSEMBLES["ensemble_many"][0]}
+    assert strides == {10, 12, 14, 16}
+
+
+def test_ensemble_apply_averages_logits():
+    cfg = PaSSTConfig(input_fdim=32, input_tdim=50, embed_dim=64, depth=1, num_heads=4, num_classes=8)
+    pairs = []
+    for i in range(3):
+        model, params = init_passt(cfg, jax.random.PRNGKey(i))
+        pairs.append((model, params))
+    x = jnp.ones((2, 1, 32, 50))
+    mean, mean2 = ensemble_apply(pairs, x)
+    assert mean.shape == (2, 8)
+    np.testing.assert_array_equal(np.asarray(mean), np.asarray(mean2))
+    individual = [np.asarray(m.apply({"params": p}, x, train=False)[0]) for m, p in pairs]
+    np.testing.assert_allclose(np.asarray(mean), np.mean(individual, axis=0), atol=1e-6)
