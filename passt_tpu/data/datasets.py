@@ -73,6 +73,22 @@ def roll_augment(x: np.ndarray, shift_range: int, rng: np.random.Generator) -> n
     return np.roll(x, sf, axis=-1)
 
 
+def ir_augment(
+    x: np.ndarray,
+    impulse_responses,
+    rate: float,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Impulse-response convolution augment (reference ``pydub_augment``'s
+    ir branch, audioset/dataset.py:104-107 + IR bank loading 84-100; off by
+    default in every recipe, ``ir_augment=0``). ``impulse_responses`` is a
+    sequence of float waveforms (the reference loads a .wav bank)."""
+    if not impulse_responses or rng.random() >= rate:
+        return x
+    ir = impulse_responses[int(rng.integers(0, len(impulse_responses)))]
+    return np.convolve(x, ir, mode="full").astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # decoders
 # ---------------------------------------------------------------------------

@@ -189,9 +189,30 @@ class Experiment:
     # ------------------------------------------------------------------
     # commands
     # ------------------------------------------------------------------
+    def _schedule(self, cfg: ExperimentConfig):
+        from passt_tpu.train.steps import make_schedule
+
+        steps_per_epoch = max(
+            1,
+            (cfg.trainer.limit_train_batches or (cfg.data.epoch_len // cfg.data.batch_size)),
+        )
+        return make_schedule(
+            cfg.trainer.lr,
+            steps_per_epoch,
+            cfg.trainer.schedule_mode,
+            cfg.trainer.warm_up_len,
+            cfg.trainer.ramp_down_start,
+            cfg.trainer.ramp_down_len,
+            cfg.trainer.last_lr_value,
+        )
+
     def main(self, cfg: ExperimentConfig) -> Dict:
         """Train (the reference ``main`` command, ex_audioset.py:336-361)."""
         model, state, train_step, eval_step, _ = self.build(cfg)
+        from passt_tpu.utils import count_non_zero_params
+
+        desc, total, non_zero = count_non_zero_params(state.params)
+        print(f"model: {desc}")  # (reference logs these, ex_audioset.py:121-123)
         train_loader = build_train_loader(cfg)
         val_loader = None
         try:
@@ -221,6 +242,7 @@ class Experiment:
             checkpoint_dir=cfg.trainer.checkpoint_dir,
             keep_last_n=cfg.trainer.keep_last_n,
             single_label=self.single_label,
+            lr_schedule=self._schedule(cfg),
         )
         return {"done": True, "history": result.history}
 
@@ -298,7 +320,41 @@ class Experiment:
         print(cfg.pretty())
         return {}
 
-    COMMANDS = ("main", "evaluate_only", "model_speed_test", "test_loaders", "print_config")
+    def print_named_configs(self, cfg: ExperimentConfig) -> Dict:
+        """List available presets (reference print_named_configs,
+        README.md:253-256)."""
+        from passt_tpu.config import PRESETS
+
+        for name, overrides in PRESETS.items():
+            print(f"{name}: {overrides}")
+        return {"presets": list(PRESETS)}
+
+    def preload(self, cfg: ExperimentConfig) -> Dict:
+        """Sequentially read every training item — NFS cache warm +
+        container integrity check (reference preload_mp3,
+        ex_audioset.py:465-472, audioset/dataset.py:246-254)."""
+        import h5py
+
+        total = 0
+        for path in filter(None, [cfg.data.train_hdf5, cfg.data.train_hdf5_extra]):
+            with h5py.File(path, "r") as f:
+                col = next(c for c in ("waveform", "raw_f32", "raw_i16", "wav", "mp3") if c in f)
+                n = len(f[col])
+                for i in range(n):
+                    _ = f[col][i]
+                total += n
+                print(f"preloaded {n} items from {path}")
+        return {"preloaded": total}
+
+    COMMANDS = (
+        "main",
+        "evaluate_only",
+        "model_speed_test",
+        "test_loaders",
+        "print_config",
+        "print_named_configs",
+        "preload",
+    )
 
 
 def run_command(experiment: Experiment, argv) -> Dict:

@@ -74,6 +74,8 @@ class PaSSTConfig:
     drop_path_rate: float = 0.0
     dtype: str = "float32"  # computation dtype ("bfloat16" for training)
     remat: bool = False  # rematerialize blocks in backward (HBM-traffic relief)
+    verbose_shapes: bool = False  # print stage shapes at trace time
+    # (the reference's first_RUN shape tracing, passt.py:507-594)
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -269,11 +271,17 @@ class PaSST(nn.Module):
         freq_pos_embed = self.param("freq_new_pos_embed", trunc_normal_init(), (1, f_grid, 1, d))
         time_pos_embed = self.param("time_new_pos_embed", trunc_normal_init(), (1, 1, t_grid, d))
 
+        def trace(label, arr):
+            if cfg.verbose_shapes:  # prints once per compile, like first_RUN
+                print(f" {label}: {arr.shape}")
+
+        trace("input", x)
         # [B, C, F, T] -> NHWC [B, F, T, C] (TPU-native conv layout).
         x = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
         x = PatchEmbed(
             d, cfg.patch_size, cfg.stride, cfg.in_chans, dtype=dtype, name="patch_embed"
         )(x)  # [B, F', T', D]
+        trace("patch_embed", x)
         _, f_cur, t_cur, _ = x.shape
 
         # Time embedding: crop to the actual grid, random offset in training
@@ -310,6 +318,7 @@ class PaSST(nn.Module):
             x = jnp.take(x, keep, axis=1)
             f_cur -= cfg.s_patchout_f
 
+        trace("after structured patchout", x)
         # Flatten (frequency-major, like torch flatten(2) on [B,D,F,T]).
         x = x.reshape(b, f_cur * t_cur, d)
 
@@ -329,6 +338,7 @@ class PaSST(nn.Module):
         else:
             x = jnp.concatenate([cls, x], axis=1)
 
+        trace("final sequence", x)
         x = nn.Dropout(cfg.drop_rate, deterministic=not train)(x)
 
         # Stochastic-depth decay rule (reference passt.py:444).

@@ -180,6 +180,20 @@ def get_model(
     return model, params
 
 
+def fix_embedding_layer(model, params, embed: str = "default"):
+    """Patch-embedding surgery (reference passt.py:922-930). Only
+    ``embed="default"`` is functional in the reference too: the "overlap" /
+    "am_keepconv" branches reference classes (`PatchEmbedAdaptiveMean*`)
+    that are defined nowhere in its repo and raise NameError — treated here
+    as explicitly not implemented."""
+    if embed == "default":
+        return model, params
+    raise NotImplementedError(
+        f"embed={embed!r}: the reference's adaptive-mean patch embeds are "
+        "undefined in its codebase (passt.py:922-930 NameError); not ported"
+    )
+
+
 def lighten_params(params: dict, cut_depth: int) -> Tuple[dict, int]:
     """Remove transformer blocks from a param tree — the reference
     ``lighten_model`` (passt.py:932-954). Positive ``cut_depth`` keeps block 0

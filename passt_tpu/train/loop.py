@@ -132,6 +132,7 @@ def fit(
     single_label: bool = False,
     start_epoch: int = 0,
     device_put: Callable = jnp.asarray,
+    lr_schedule: Optional[Callable] = None,
 ) -> FitResult:
     logger = logger or MetricsLogger()
     swa_state = None
@@ -176,6 +177,10 @@ def fit(
         }
         if pending_loss is not None:
             record["train_loss"] = float(pending_loss)
+        if lr_schedule is not None:
+            # the reference logs lr per epoch (LearningRateMonitor,
+            # ex_audioset.py:305; trainer/lr at :195)
+            record["lr"] = float(lr_schedule(int(state.step)))
 
         # SWA (helpers/swa_callback.py semantics; averaged on epoch end).
         if swa_epoch_start is not None:

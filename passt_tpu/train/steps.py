@@ -33,6 +33,24 @@ class TrainState:
     step: jnp.ndarray  # scalar int32
 
 
+def make_schedule(
+    lr: float = 0.00002,
+    steps_per_epoch: int = 1000,
+    schedule_mode: str = "exp_lin",
+    warm_up_len: int = 5,
+    ramp_down_start: int = 50,
+    ramp_down_len: int = 50,
+    last_lr_value: float = 0.01,
+):
+    """The step->lr schedule used by :func:`make_optimizer` (exposed so the
+    training loop can log the current lr, reference LearningRateMonitor,
+    ex_audioset.py:305)."""
+    epoch_fn = get_scheduler_lambda(
+        warm_up_len, ramp_down_start, ramp_down_len, last_lr_value, schedule_mode
+    )
+    return make_lr_schedule(lr, epoch_fn, steps_per_epoch)
+
+
 def make_optimizer(
     lr: float = 0.00002,
     weight_decay: float = 0.0001,
@@ -49,10 +67,10 @@ def make_optimizer(
     Weight decay applies to ALL parameters including positional embeddings
     and norms: the reference defines no_weight_decay() but never uses it
     (SURVEY §7 quirk list; ex_audioset.py:297)."""
-    epoch_fn = get_scheduler_lambda(
-        warm_up_len, ramp_down_start, ramp_down_len, last_lr_value, schedule_mode
+    schedule = make_schedule(
+        lr, steps_per_epoch, schedule_mode, warm_up_len, ramp_down_start,
+        ramp_down_len, last_lr_value,
     )
-    schedule = make_lr_schedule(lr, epoch_fn, steps_per_epoch)
     if adamw:
         return optax.adamw(schedule, weight_decay=weight_decay)
     return optax.adam(schedule)

@@ -1,0 +1,135 @@
+"""Checkpoint/resume + utility tests."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from passt_tpu.models.passt import PaSSTConfig
+from passt_tpu.ops.frontend import MelConfig
+from passt_tpu.train.loop import MetricsLogger, fit, restore_checkpoint
+from passt_tpu.train.steps import create_train_state, make_optimizer, make_train_step, make_eval_step
+from passt_tpu.utils import count_non_zero_params, count_params, param_summary
+
+
+class _ListLoader:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def _setup(rng_np):
+    cfg = PaSSTConfig(
+        input_fdim=32, input_tdim=50, embed_dim=64, depth=2, num_heads=4, num_classes=8
+    )
+    mcfg = MelConfig(n_mels=32, freqm=4, timem=8)
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=2)
+    model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, mcfg, donate=False)
+    ev = make_eval_step(model, mcfg)
+    batches = [
+        {
+            "wave": rng_np.standard_normal((4, 16000)).astype(np.float32),
+            "target": (rng_np.uniform(size=(4, 8)) < 0.3).astype(np.float32),
+            "name": ["x"] * 4,
+        }
+        for _ in range(2)
+    ]
+    return cfg, tx, model, state, step, ev, batches
+
+
+def test_fit_checkpoint_and_resume(tmp_path, rng_np):
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    ckpt = str(tmp_path / "ckpt")
+    res = fit(
+        train_step=step,
+        eval_step=ev,
+        state=state,
+        train_loader=_ListLoader(batches),
+        val_loader=None,
+        max_epochs=3,
+        base_rng=jax.random.PRNGKey(1),
+        checkpoint_dir=ckpt,
+        keep_last_n=2,
+        logger=MetricsLogger(quiet=True),
+    )
+    assert int(res.state.step) == 6
+
+    # Restore into a fresh template.
+    _, fresh = create_train_state(cfg, tx, jax.random.PRNGKey(99))[0], None
+    model2, fresh_state = create_train_state(cfg, tx, jax.random.PRNGKey(99))
+    restored, swa_params, epoch = restore_checkpoint(ckpt, fresh_state)
+    assert epoch == 2
+    assert int(restored.step) == 6
+    a = jax.tree.leaves(res.state.params)
+    b = jax.tree.leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # keep_last_n=2: epoch 0 checkpoint evicted.
+    with pytest.raises(Exception):
+        restore_checkpoint(ckpt, fresh_state, step=0)
+
+    # Resumed training continues from the restored state.
+    res2 = fit(
+        train_step=step,
+        eval_step=ev,
+        state=restored,
+        train_loader=_ListLoader(batches),
+        max_epochs=4,
+        start_epoch=3,
+        base_rng=jax.random.PRNGKey(1),
+        logger=MetricsLogger(quiet=True),
+    )
+    assert int(res2.state.step) == 8
+
+
+def test_lr_logged(rng_np):
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    from passt_tpu.train.steps import make_schedule
+
+    sched = make_schedule(lr=1e-3, steps_per_epoch=2)
+    res = fit(
+        train_step=step,
+        eval_step=ev,
+        state=state,
+        train_loader=_ListLoader(batches),
+        max_epochs=2,
+        base_rng=jax.random.PRNGKey(1),
+        logger=MetricsLogger(quiet=True),
+        lr_schedule=sched,
+    )
+    assert "lr" in res.history[0]
+    assert res.history[0]["lr"] == pytest.approx(float(sched(2)))
+
+
+def test_param_counting():
+    params = {"a": jnp.zeros((3, 4)), "b": {"c": jnp.ones((5,))}}
+    assert count_params(params) == 17
+    desc, total, nz = count_non_zero_params(params)
+    assert total == 17 and nz == 5
+    summary = param_summary(params)
+    assert "TOTAL" in summary and "17" in summary
+
+
+def test_verbose_shapes_prints(capsys):
+    from passt_tpu.models.passt import init_passt
+
+    cfg = PaSSTConfig(
+        input_fdim=32, input_tdim=50, embed_dim=64, depth=1, num_heads=4,
+        num_classes=8, verbose_shapes=True,
+    )
+    model, params = init_passt(cfg, jax.random.PRNGKey(0))
+    out = capsys.readouterr().out
+    assert "patch_embed" in out and "final sequence" in out
