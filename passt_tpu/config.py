@@ -35,6 +35,11 @@ class ModelSelect:
     s_patchout_t: int = 40  # AudioSet recipe default (ex_audioset.py:62)
     s_patchout_f: int = 4
     dtype: str = "bfloat16"
+    # ensemble evaluation (reference ensemble named configs,
+    # config_updates.py:136-222): name into registry.ENSEMBLES plus a
+    # directory of ported checkpoints named <arch>.npz
+    ensemble: Optional[str] = None
+    ensemble_checkpoint_dir: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

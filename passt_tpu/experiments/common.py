@@ -261,6 +261,58 @@ class Experiment:
         print({"validation": metrics})
         return metrics
 
+    def evaluate_ensemble(self, cfg: ExperimentConfig) -> Dict:
+        """Evaluate a logit-averaged checkpoint ensemble (reference
+        ensemble named configs, config_updates.py:136-222; EnsembelerModel
+        passt.py:1021-1036). Requires ``model.ensemble=<name>`` and
+        ``model.ensemble_checkpoint_dir`` with ``<arch>.npz`` files."""
+        import os
+
+        from passt_tpu.models.registry import ENSEMBLES, ensemble_apply, get_ensemble_model
+        from passt_tpu.ops.frontend import log_mel_spectrogram
+        from passt_tpu.train.metrics import mean_average_precision
+
+        if cfg.model.ensemble not in ENSEMBLES:
+            raise SystemExit(
+                f"model.ensemble must be one of {list(ENSEMBLES)}"
+            )
+        arch_list, published_map = ENSEMBLES[cfg.model.ensemble]
+        paths = None
+        if cfg.model.ensemble_checkpoint_dir:
+            paths = [
+                os.path.join(cfg.model.ensemble_checkpoint_dir, f"{arch}.npz")
+                for arch, _, _ in arch_list
+            ]
+        pairs = get_ensemble_model(
+            arch_list,
+            checkpoint_paths=paths,
+            n_classes=cfg.model.n_classes,
+            input_fdim=cfg.model.input_fdim,
+            input_tdim=cfg.model.input_tdim,
+            dtype=cfg.model.dtype,
+        )
+        mel_cfg = cfg.mel
+        tdim = cfg.model.input_tdim
+
+        @jax.jit
+        def ens_step(wave):
+            mel = log_mel_spectrogram(wave, mel_cfg, train=False)
+            out, _ = ensemble_apply(pairs, mel[:, None, :, :tdim])
+            return jax.nn.sigmoid(out)
+
+        loader = build_eval_loader(cfg)
+        outs, targets = [], []
+        for i, batch in enumerate(loader):
+            if cfg.trainer.limit_eval_batches is not None and i >= cfg.trainer.limit_eval_batches:
+                break
+            outs.append(np.asarray(ens_step(jnp.asarray(batch["wave"]))))
+            targets.append(batch["target"])
+        ap = mean_average_precision(np.concatenate(targets), np.concatenate(outs))
+        print(
+            {"ensemble": cfg.model.ensemble, "ap": ap, "published_map": published_map}
+        )
+        return {"ap": ap, "published_map": published_map}
+
     def model_speed_test(
         self, cfg: ExperimentConfig, speed_test_batch_size: int = 12, test_length: int = 100
     ) -> Dict:
@@ -349,6 +401,7 @@ class Experiment:
     COMMANDS = (
         "main",
         "evaluate_only",
+        "evaluate_ensemble",
         "model_speed_test",
         "test_loaders",
         "print_config",

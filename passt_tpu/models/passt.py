@@ -74,6 +74,7 @@ class PaSSTConfig:
     drop_path_rate: float = 0.0
     dtype: str = "float32"  # computation dtype ("bfloat16" for training)
     remat: bool = False  # rematerialize blocks in backward (HBM-traffic relief)
+    softmax_fp32: bool = True  # fp32 attention softmax (False: bf16, faster)
     verbose_shapes: bool = False  # print stage shapes at trace time
     # (the reference's first_RUN shape tracing, passt.py:507-594)
 
@@ -168,6 +169,7 @@ class Attention(nn.Module):
     attn_drop: float
     proj_drop: float
     dtype: Dtype
+    softmax_fp32: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -182,7 +184,12 @@ class Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, Dh]
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.softmax_fp32:
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        else:
+            # bf16 softmax with the max-subtraction still computed exactly;
+            # saves the fp32 NxN materialization (memory-bound relief).
+            attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
 
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
@@ -202,6 +209,7 @@ class Block(nn.Module):
     attn_drop: float
     drop_path_rate: float
     dtype: Dtype
+    softmax_fp32: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -213,7 +221,7 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = Attention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
-            dtype=self.dtype, name="attn",
+            dtype=self.dtype, softmax_fp32=self.softmax_fp32, name="attn",
         )(h.astype(self.dtype), train)
         x = x + maybe_drop_path(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
@@ -350,7 +358,7 @@ class PaSST(nn.Module):
             x = block_cls(
                 d, cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias,
                 cfg.drop_rate, cfg.attn_drop_rate, float(dpr[i]),
-                dtype=dtype, name=f"blocks_{i}",
+                dtype=dtype, softmax_fp32=cfg.softmax_fp32, name=f"blocks_{i}",
             )(x, train)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
