@@ -63,6 +63,9 @@ class DataConfig:
     packed_targets: bool = True
     merge_mask_wavmix: bool = False  # OpenMIC
     crop: str = "head"  # "random" for FSD50K training
+    eval_set: str = "eval"  # "valid" for FSD50K's second eval loader
+    eval_pad_multiple_s: float = 0.0  # variable-length eval: pad batches to
+    # a multiple of this many seconds (bounds jit recompiles)
     num_replicas: int = 1
     rank: int = 0
     seed: int = 42
@@ -185,6 +188,13 @@ PRESETS: Dict[str, Dict[str, str]] = {
     "mixupx": {"trainer.use_mixup": "true", "trainer.mixup_alpha": "0.3"},
     "no_wavmix": {"data.wavmix": "false"},
     "dynamic_roll": {"data.roll": "true"},
+    # FSD50K variable-length eval (reference ex_fsd50k.py variable_eval
+    # named config: clip_length=None, batch_size=1)
+    "variable_eval": {
+        "data.clip_length": "null",
+        "data.eval_batch_size": "4",
+        "data.eval_pad_multiple_s": "5",
+    },
     # pretrained archs (config_updates.py:55-134)
     **{
         name: {"model.arch": name, "model.pretrained": "true"}

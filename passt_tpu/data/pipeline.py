@@ -19,15 +19,19 @@ import numpy as np
 from passt_tpu.data.datasets import AudioDataset
 
 
-def default_collate(items) -> Dict[str, np.ndarray]:
+def default_collate(items, pad_to_multiple: int = 0) -> Dict[str, np.ndarray]:
     """(waveform, name, target) items -> {'wave': [B, T], 'target': [B, C],
     'name': list}. Variable-length waveforms are zero-padded to the batch
-    max (only occurs for clip_length=None eval datasets; the reference uses
-    batch_size=1 there instead, fsd50k/dataset.py)."""
+    max (clip_length=None variable-length eval; the reference uses
+    batch_size=1 there, fsd50k/dataset.py). ``pad_to_multiple`` (samples)
+    additionally rounds the batch length up so the number of distinct padded
+    shapes — and hence jit recompiles — stays bounded."""
     waves = [np.asarray(it[0]).reshape(-1) for it in items]
     names = [it[1] for it in items]
     targets = [np.asarray(it[2]) for it in items]
     t_max = max(len(w) for w in waves)
+    if pad_to_multiple:
+        t_max = -(-t_max // pad_to_multiple) * pad_to_multiple
     wave = np.zeros((len(waves), t_max), dtype=np.float32)
     for i, w in enumerate(waves):
         wave[i, : len(w)] = w

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from passt_tpu.config import ExperimentConfig, parse_cli
+from passt_tpu.data.pipeline import default_collate
 from passt_tpu.data import (
     ConcatDataset,
     DataLoader,
@@ -131,10 +132,21 @@ def build_train_loader(cfg: ExperimentConfig, dataset=None):
     return DataLoader(ds, d.batch_size, sampler, drop_last=True, prefetch=d.prefetch)
 
 
-def build_eval_loader(cfg: ExperimentConfig, which: str = "eval", batch_size=None):
+def build_eval_loader(cfg: ExperimentConfig, which: Optional[str] = None, batch_size=None):
+    which = which or cfg.data.eval_set
     ds = build_eval_dataset(cfg, which)
     bs = batch_size or cfg.data.eval_batch_size
-    return DataLoader(ds, bs, SequentialSampler(len(ds)), prefetch=cfg.data.prefetch)
+    collate = default_collate
+    if cfg.data.eval_pad_multiple_s:
+        import functools
+
+        collate = functools.partial(
+            default_collate,
+            pad_to_multiple=int(cfg.data.eval_pad_multiple_s * cfg.data.sample_rate),
+        )
+    return DataLoader(
+        ds, bs, SequentialSampler(len(ds)), collate=collate, prefetch=cfg.data.prefetch
+    )
 
 
 @dataclasses.dataclass
