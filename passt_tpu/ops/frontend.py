@@ -115,14 +115,6 @@ def log_mel_spectrogram(
     if train and rng is None:
         raise ValueError("train=True requires an rng key")
 
-    x = wave.astype(jnp.float32)
-    # Pre-emphasis (valid conv with kernel [-0.97, 1] -> length T-1).
-    x = x[:, 1:] - 0.97 * x[:, :-1]
-
-    power = stft_power(
-        x, cfg.n_fft, cfg.hopsize, cfg.win_length, center=True, method=cfg.stft_method
-    )  # [B, n_fft//2+1, frames]
-
     fmin = jnp.float32(cfg.fmin)
     fmax = jnp.float32(cfg.effective_fmax)
     if train:
@@ -135,13 +127,32 @@ def log_mel_spectrogram(
         )
 
     mel_bank = kaldi_mel_banks(cfg.n_mels, cfg.n_fft, cfg.sr, fmin, fmax)  # (n_mels, n_fft//2)
-    # The reference zero-pads the bank by one FFT column (preprocess.py:73);
-    # multiplying against the first n_fft//2 power bins is identical.
-    mel = jnp.einsum(
-        "mf,bft->bmt", mel_bank, power[:, : cfg.n_fft // 2, :],
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    mel = jnp.log(mel + LOG_OFFSET)
+
+    if cfg.stft_method == "pallas":
+        from passt_tpu.ops.pallas import fused_log_mel
+
+        mel = fused_log_mel(
+            wave.astype(jnp.float32), mel_bank,
+            n_fft=cfg.n_fft, hop=cfg.hopsize, win_length=cfg.win_length,
+            log_offset=LOG_OFFSET, norm_shift=0.0, norm_scale=1.0,
+        )  # un-normalized log-mel; masks+normalization applied below
+    else:
+        x = wave.astype(jnp.float32)
+        # Pre-emphasis (valid conv with kernel [-0.97, 1] -> length T-1).
+        x = x[:, 1:] - 0.97 * x[:, :-1]
+
+        power = stft_power(
+            x, cfg.n_fft, cfg.hopsize, cfg.win_length, center=True, method=cfg.stft_method
+        )  # [B, n_fft//2+1, frames]
+
+        # The reference zero-pads the bank by one FFT column
+        # (preprocess.py:73); multiplying against the first n_fft//2 power
+        # bins is identical.
+        mel = jnp.einsum(
+            "mf,bft->bmt", mel_bank, power[:, : cfg.n_fft // 2, :],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        mel = jnp.log(mel + LOG_OFFSET)
 
     if train:
         b, n_mels, frames = mel.shape

@@ -36,22 +36,41 @@ from passt_tpu.train.swa import SWAState, swa_init, swa_should_update, swa_updat
 
 
 class MetricsLogger:
-    """JSONL + stdout metrics sink."""
+    """JSONL + stdout metrics sink, with an optional wandb forwarder
+    (the reference's primary logger is WandbLogger, ex_audioset.py:38,72;
+    here wandb is optional — pass ``wandb_project`` and it activates when
+    the package is importable)."""
 
-    def __init__(self, path: Optional[str] = None, quiet: bool = False):
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        quiet: bool = False,
+        wandb_project: Optional[str] = None,
+        wandb_config: Optional[dict] = None,
+    ):
         self.path = path
         self.quiet = quiet
+        self._wandb = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._f = open(path, "a")
         else:
             self._f = None
+        if wandb_project:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=wandb_project, config=wandb_config or {})
+            except ImportError:
+                print("wandb not installed; logging to JSONL/stdout only")
 
     def log(self, record: Dict[str, Any]) -> None:
         record = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
         if self._f:
             self._f.write(json.dumps(record) + "\n")
             self._f.flush()
+        if self._wandb is not None:
+            self._wandb.log(record)
         if not self.quiet:
             parts = " ".join(
                 f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()
@@ -61,6 +80,8 @@ class MetricsLogger:
     def close(self):
         if self._f:
             self._f.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 def evaluate(
