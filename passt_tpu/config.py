@@ -187,7 +187,8 @@ PRESETS: Dict[str, Dict[str, str]] = {
     "nomixup": {"trainer.use_mixup": "false"},
     "mixupx": {"trainer.use_mixup": "true", "trainer.mixup_alpha": "0.3"},
     "no_wavmix": {"data.wavmix": "false"},
-    "dynamic_roll": {"data.roll": "true"},
+    "dynamic_roll": {"data.roll": "true", "data.roll_shift_range": "10000"},
+    # (reference dynamic_roll sets shift_range=10000, config_updates.py:224-229)
     # FSD50K variable-length eval (reference ex_fsd50k.py variable_eval
     # named config: clip_length=None, batch_size=1)
     "variable_eval": {

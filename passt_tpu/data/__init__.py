@@ -4,6 +4,7 @@ from passt_tpu.data.datasets import (
     ConcatDataset,
     MapDataset,
     WavMixDataset,
+    CachedDataset,
     pad_or_truncate,
     random_crop,
     stride_resample,
@@ -24,6 +25,7 @@ __all__ = [
     "ConcatDataset",
     "MapDataset",
     "WavMixDataset",
+    "CachedDataset",
     "pad_or_truncate",
     "random_crop",
     "stride_resample",

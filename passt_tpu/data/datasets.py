@@ -269,6 +269,37 @@ class MapDataset(AudioDataset):
         return self.fn(self.dataset[index])
 
 
+class CachedDataset(AudioDataset):
+    """Disk-cache every item as an .npz on first access (the reference's
+    FilesCachedDataset / ObjectCacher torch.save caches,
+    helpers/audiodatasets.py:51-173). Useful when the underlying decode or
+    augmentation chain is expensive and deterministic."""
+
+    def __init__(self, dataset: AudioDataset, cache_dir: str):
+        import os
+
+        self.dataset = dataset
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index):
+        import os
+
+        path = os.path.join(self.cache_dir, f"{index}.npz")
+        if os.path.exists(path):
+            data = np.load(path, allow_pickle=False)
+            return data["wave"], str(data["name"]), data["target"]
+        wave, name, target = self.dataset[index]
+        tmp = os.path.join(self.cache_dir, f"{index}.tmp.npz")
+        with open(tmp, "wb") as f:
+            np.savez(f, wave=wave, name=name, target=target)
+        os.replace(tmp, path)
+        return wave, name, target
+
+
 class WavMixDataset(AudioDataset):
     """Waveform mixup ("wavmix", reference MixupDataset,
     audioset/dataset.py:115-140): with probability ``rate``, mean-center and

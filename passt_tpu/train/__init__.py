@@ -1,6 +1,11 @@
 from passt_tpu.train.schedules import (
     exp_rampup,
     linear_rampdown,
+    linear_rampup,
+    pseudo_rampup,
+    exp_rampdown,
+    cosine_rampdown,
+    exp_warmup,
     exp_warmup_linear_down,
     cosine_cycle,
     make_lr_schedule,

@@ -57,6 +57,62 @@ def exp_warmup_linear_down(
     return f
 
 
+def pseudo_rampup(t1: int, t2: int):
+    """0 until t1, linear to 1 between t1 and t2 (ramp.py:8-18)."""
+
+    def f(epoch):
+        if epoch > t1:
+            return min((epoch - t1) / (t2 - t1), 1.0)
+        return 0.0
+
+    return f
+
+
+def linear_rampup(rampup_length: int):
+    """Linear 0 -> 1 over ``rampup_length`` epochs (ramp.py:33-42)."""
+
+    def f(epoch):
+        return min(epoch / rampup_length, 1.0) if rampup_length else 1.0
+
+    return f
+
+
+def exp_rampdown(rampdown_length: int, num_epochs: int):
+    """Exponential tail-off over the last ``rampdown_length`` epochs
+    (ramp.py:57-67; arXiv 1610.02242)."""
+
+    def f(epoch):
+        if epoch >= num_epochs - rampdown_length:
+            ep = 0.5 * (epoch - (num_epochs - rampdown_length))
+            return float(math.exp(-(ep * ep) / rampdown_length))
+        return 1.0
+
+    return f
+
+
+def cosine_rampdown(rampdown_length: int, num_epochs: int):
+    """Cosine tail-off (ramp.py:70-80; arXiv 1608.03983)."""
+
+    def f(epoch):
+        if epoch >= num_epochs - rampdown_length:
+            ep = 0.5 * (epoch - (num_epochs - rampdown_length))
+            return float(0.5 * (math.cos(math.pi * ep / rampdown_length) + 1.0))
+        return 1.0
+
+    return f
+
+
+def exp_warmup(rampup_length: int, rampdown_length: int, num_epochs: int):
+    """exp_rampup x exp_rampdown (ramp.py:83-90)."""
+    up = exp_rampup(rampup_length)
+    down = exp_rampdown(rampdown_length, num_epochs)
+
+    def f(epoch):
+        return up(epoch) * down(epoch)
+
+    return f
+
+
 def cosine_cycle(cycle_len: int = 20, ramp_down_start: int = 100, last_lr_value: float = 0.01):
     """Cyclic cosine with a floor after ``ramp_down_start`` (ramp.py:113-122,
     including its cycle-aligned rampdown adjustment)."""

@@ -181,3 +181,39 @@ def test_prefetcher_propagates_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="boom"):
         next(it)
+
+
+def test_cached_dataset(tmp_path, synth_hdf5):
+    from passt_tpu.data import CachedDataset
+
+    base = HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2)
+    cached = CachedDataset(base, str(tmp_path / "cache"))
+    w1, n1, t1 = cached[3]  # miss -> writes
+    w2, n2, t2 = cached[3]  # hit -> reads
+    np.testing.assert_array_equal(w1, w2)
+    assert n1 == n2
+    np.testing.assert_array_equal(t1, t2)
+    import os
+
+    assert os.path.exists(str(tmp_path / "cache" / "3.npz"))
+
+
+def test_extra_ramp_functions():
+    from passt_tpu.train import (
+        cosine_rampdown,
+        exp_rampdown,
+        exp_warmup,
+        linear_rampup,
+        pseudo_rampup,
+    )
+
+    assert pseudo_rampup(10, 20)(5) == 0.0
+    assert pseudo_rampup(10, 20)(15) == 0.5
+    assert pseudo_rampup(10, 20)(25) == 1.0
+    assert linear_rampup(10)(5) == 0.5 and linear_rampup(10)(20) == 1.0
+    assert exp_rampdown(10, 100)(50) == 1.0 and exp_rampdown(10, 100)(99) < 0.2
+    assert cosine_rampdown(10, 100)(50) == 1.0
+    cd = cosine_rampdown(10, 100)
+    assert cd(95) > cd(99) > 0.0  # monotone tail (reaches 0 at ep=rampdown)
+    w = exp_warmup(5, 10, 100)
+    assert w(0) < 0.1 and abs(w(50) - 1.0) < 1e-9 and w(99) < 0.2
