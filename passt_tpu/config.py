@@ -189,6 +189,18 @@ PRESETS: Dict[str, Dict[str, str]] = {
     "no_wavmix": {"data.wavmix": "false"},
     "dynamic_roll": {"data.roll": "true", "data.roll_shift_range": "10000"},
     # (reference dynamic_roll sets shift_range=10000, config_updates.py:224-229)
+    # high-temporal-resolution STFT variants (reference hop100/hop160
+    # checkpoints, passt.py:219-226: 10 s -> tdim 3200 / 2000)
+    "stfthop100": {
+        "mel.hopsize": "100",
+        "model.arch": "passt_s_swa_p16_128_ap476",
+        "model.input_tdim": "3200",
+    },
+    "stfthop160": {
+        "mel.hopsize": "160",
+        "model.arch": "passt_s_swa_p16_128_ap476",
+        "model.input_tdim": "2000",
+    },
     # FSD50K variable-length eval (reference ex_fsd50k.py variable_eval
     # named config: clip_length=None, batch_size=1)
     "variable_eval": {

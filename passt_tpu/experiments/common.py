@@ -105,6 +105,16 @@ def build_eval_dataset(cfg: ExperimentConfig, which: str = "eval"):
     )
 
 
+def _resolve_rank(d):
+    """num_replicas=0 -> auto-wire from the JAX process topology (the
+    reference reads DDP/NODE_RANK env vars, audioset/dataset.py:296-300)."""
+    import jax
+
+    if d.num_replicas == 0:
+        return jax.process_count(), jax.process_index()
+    return d.num_replicas, d.rank
+
+
 def build_train_loader(cfg: ExperimentConfig, dataset=None):
     d = cfg.data
     ds = dataset if dataset is not None else build_train_dataset(cfg)
@@ -119,16 +129,18 @@ def build_train_loader(cfg: ExperimentConfig, dataset=None):
                 t = np.unpackbits(t, axis=-1, count=d.num_classes)
             targets.append(np.asarray(t, dtype=np.float32))
         weights = class_balanced_sample_weights(np.concatenate(targets))
+        num_replicas, rank = _resolve_rank(d)
         sampler = WeightedEpochSampler(
             weights,
             epoch_len=d.epoch_len,
             replacement=d.sampler_replace,
-            num_replicas=d.num_replicas,
-            rank=d.rank,
+            num_replicas=num_replicas,
+            rank=rank,
             seed=d.seed,
         )
     else:
-        sampler = ShuffleSampler(len(ds), d.num_replicas, d.rank, seed=d.seed)
+        num_replicas, rank = _resolve_rank(d)
+        sampler = ShuffleSampler(len(ds), num_replicas, rank, seed=d.seed)
     return DataLoader(ds, d.batch_size, sampler, drop_last=True, prefetch=d.prefetch)
 
 
