@@ -93,6 +93,7 @@ class TrainerConfig:
     limit_eval_batches: Optional[int] = None
     checkpoint_dir: Optional[str] = None
     keep_last_n: int = 1
+    resume: bool = False  # resume from the latest checkpoint in checkpoint_dir
     log_every_steps: int = 50
     n_data: Optional[int] = None  # mesh axes; default all devices on data
     n_model: int = 1

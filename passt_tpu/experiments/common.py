@@ -248,6 +248,18 @@ class Experiment:
             if cfg.trainer.checkpoint_dir
             else None
         )
+        start_epoch = 0
+        if cfg.trainer.resume and cfg.trainer.checkpoint_dir:
+            from passt_tpu.train.loop import restore_checkpoint
+
+            try:
+                state, swa_params, last_epoch = restore_checkpoint(
+                    cfg.trainer.checkpoint_dir, state
+                )
+                start_epoch = last_epoch + 1
+                print(f"resumed from epoch {last_epoch} (step {int(state.step)})")
+            except FileNotFoundError:
+                print("resume requested but no checkpoint found; starting fresh")
         result = fit(
             train_step=train_step,
             eval_step=eval_step,
@@ -267,6 +279,7 @@ class Experiment:
             keep_last_n=cfg.trainer.keep_last_n,
             single_label=self.single_label,
             lr_schedule=self._schedule(cfg),
+            start_epoch=start_epoch,
         )
         return {"done": True, "history": result.history}
 

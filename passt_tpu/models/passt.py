@@ -66,6 +66,8 @@ class PaSSTConfig:
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     distilled: bool = True
+    representation_size: Optional[int] = None  # pre-logits Dense+tanh
+    # (reference passt.py:452-460; only for non-distilled in21k ViTs)
     u_patchout: int = 0
     s_patchout_t: int = 0
     s_patchout_f: int = 0
@@ -368,6 +370,14 @@ class PaSST(nn.Module):
         else:
             features = x[:, 0]
         features = features.astype(jnp.float32)
+        if cfg.representation_size and not cfg.distilled:
+            # pre-logits representation layer (passt.py:452-458).
+            features = jnp.tanh(
+                nn.Dense(
+                    cfg.representation_size, dtype=jnp.float32,
+                    kernel_init=nn.initializers.lecun_normal(), name="pre_logits",
+                )(features)
+            )
 
         # head = LayerNorm -> Linear (reference passt.py:463-464; torch names
         # head.0 / head.1 map to head_norm / head_linear here).

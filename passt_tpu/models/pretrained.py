@@ -237,6 +237,14 @@ def convert_torch_state_dict(
         else:
             consumed.update({"head_dist.weight", "head_dist.bias"})
 
+    if "pre_logits.fc.weight" in sd:
+        if cfg.representation_size and not cfg.distilled:
+            params["pre_logits"] = dense("pre_logits.fc")
+        else:
+            # fine-tuning drops the representation layer
+            # (reference _create_vision_transformer, passt.py:717-722)
+            consumed.update({"pre_logits.fc.weight", "pre_logits.fc.bias"})
+
     # --- fill gaps from init, check leftovers -------------------------------
     if init_params is not None:
         for name in ("head_norm", "head_linear", "head_dist", "dist_token"):

@@ -62,7 +62,8 @@ class MelConfig:
     fmin_aug_range: int = 1
     fmax_aug_range: int = 1000
     iid_masks: bool = True
-    stft_method: str = "matmul"  # "matmul" (MXU path), "conv", or "fft"
+    stft_method: str = "auto"  # "auto" (pallas on TPU, matmul elsewhere),
+    # "pallas", "matmul", "conv", or "fft"
 
     def __post_init__(self):
         assert self.fmin_aug_range >= 1, "fmin_aug_range >= 1 (1 = no augmentation)"
@@ -128,7 +129,18 @@ def log_mel_spectrogram(
 
     mel_bank = kaldi_mel_banks(cfg.n_mels, cfg.n_fft, cfg.sr, fmin, fmax)  # (n_mels, n_fft//2)
 
-    if cfg.stft_method == "pallas":
+    method = cfg.stft_method
+    if method == "auto":
+        # Fused kernel needs lane-aligned geometry (holds for the default
+        # hop 320 / n_fft 1024 but not e.g. the hop100/160 variants).
+        kernel_ok = (
+            (2 * cfg.hopsize) % 128 == 0
+            and cfg.n_fft % 128 == 0
+            and (128 * cfg.hopsize) % 1024 == 0
+        )
+        method = "pallas" if (jax.default_backend() == "tpu" and kernel_ok) else "matmul"
+
+    if method == "pallas":
         from passt_tpu.ops.pallas import fused_log_mel
 
         mel = fused_log_mel(
@@ -142,7 +154,7 @@ def log_mel_spectrogram(
         x = x[:, 1:] - 0.97 * x[:, :-1]
 
         power = stft_power(
-            x, cfg.n_fft, cfg.hopsize, cfg.win_length, center=True, method=cfg.stft_method
+            x, cfg.n_fft, cfg.hopsize, cfg.win_length, center=True, method=method
         )  # [B, n_fft//2+1, frames]
 
         # The reference zero-pads the bank by one FFT column

@@ -172,3 +172,31 @@ def test_num_classes_mismatch_drops_head():
         np.asarray(params["head_linear"]["kernel"]),
         np.asarray(init_params["head_linear"]["kernel"]),
     )
+
+
+def test_pre_logits_representation_layer(rng_np):
+    """Non-distilled ViT with a representation layer (passt.py:452-460):
+    forward parity + converter handling of pre_logits.fc."""
+    import torch
+
+    ref_passt = load_reference_passt_module()
+    torch.manual_seed(5)
+    ref = ref_passt.PaSST(
+        img_size=(128, 198), patch_size=16, stride=(10, 10), in_chans=1,
+        num_classes=21, distilled=False, depth=2, embed_dim=192, num_heads=3,
+        representation_size=96,
+    )
+    ref.eval()
+    cfg = PaSSTConfig(
+        input_tdim=198, num_classes=21, distilled=False, depth=2,
+        embed_dim=192, num_heads=3, representation_size=96,
+    )
+    model, init_params = init_passt(cfg, jax.random.PRNGKey(0))
+    assert "pre_logits" in init_params
+    params = convert_torch_state_dict(ref.state_dict(), cfg, init_params=init_params)
+    x = rng_np.standard_normal((1, 1, 128, 198)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits, ref_feats = ref(torch.from_numpy(x))
+    logits, feats = model.apply({"params": params}, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(feats), ref_feats.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=2e-4)
