@@ -18,3 +18,22 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Convenience top-level surface (submodules import lazily to keep
+# `import passt_tpu` light).
+
+
+def __getattr__(name):
+    if name in ("PaSST", "PaSSTConfig", "get_model"):
+        from passt_tpu import models
+
+        return getattr(models, name)
+    if name == "Predictor":
+        from passt_tpu.hear import Predictor
+
+        return Predictor
+    if name in ("MelConfig", "log_mel_spectrogram"):
+        from passt_tpu import ops
+
+        return getattr(ops, name)
+    raise AttributeError(f"module 'passt_tpu' has no attribute {name!r}")
