@@ -85,9 +85,17 @@ def mean_average_precision(targets: np.ndarray, scores: np.ndarray, use_sklearn:
     (ex_audioset.py:256-258, 278-282)."""
     if use_sklearn:
         try:
+            import warnings as _warnings
+
             from sklearn import metrics as skm
 
-            ap = skm.average_precision_score(targets, scores, average=None)
+            with _warnings.catch_warnings():
+                # Classes without positives are expected on subsampled /
+                # synthetic eval sets; sklearn warns per class per call.
+                _warnings.filterwarnings(
+                    "ignore", message="No positive class found in y_true"
+                )
+                ap = skm.average_precision_score(targets, scores, average=None)
             return float(np.mean(ap))
         except Exception:
             pass
