@@ -60,19 +60,29 @@ class WeightedEpochSampler:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    @property
+    def _draw_len(self) -> int:
+        if self.replacement:
+            return self.epoch_len
+        return min(self.epoch_len, len(self.weights))
+
     def __len__(self) -> int:
         # ceil-division slice length (torch DistributedSampler pads; the
         # reference slices the raw list -> ranks may differ by one).
-        return (self.epoch_len - self.rank + self.num_replicas - 1) // self.num_replicas
+        return (self._draw_len - self.rank + self.num_replicas - 1) // self.num_replicas
 
     def _draw(self, rng: np.random.Generator) -> np.ndarray:
         n = len(self.weights)
-        k = min(self.epoch_len, n) if not self.replacement else self.epoch_len
+        k = self._draw_len
         if self.replacement:
             p = self.weights / self.weights.sum()
             return rng.choice(n, size=k, replace=True, p=p)
-        keys = rng.exponential(size=n) / self.weights
-        return np.argpartition(keys, k - 1)[:k][np.argsort(keys[np.argpartition(keys, k - 1)[:k]])]
+        # Exponential race: the k smallest exp(1)/w_i are a weighted sample
+        # without replacement, ordered by draw.
+        with np.errstate(divide="ignore"):
+            keys = rng.exponential(size=n) / self.weights
+        top = np.argpartition(keys, k - 1)[:k]
+        return top[np.argsort(keys[top], kind="stable")]
 
     def __iter__(self) -> Iterator[int]:
         rng = np.random.default_rng(self.seed + self.epoch)
