@@ -409,6 +409,42 @@ class Experiment:
         print(cfg.pretty())
         return {}
 
+    def predict(self, cfg: ExperimentConfig, out_path: Optional[str] = None) -> Dict:
+        """Run inference over the eval set and dump (names, logits/probs)
+        (the reference ``M.predict`` hook, ex_audioset.py:208-214, made a
+        first-class command). Writes ``<checkpoint_dir or .>/predictions.npz``
+        with arrays ``names``, ``out``, ``target``."""
+        import os
+
+        model, state, _, eval_step, _ = self.build(cfg)
+        loader = build_eval_loader(cfg)
+        names, outs, targets = [], [], []
+        for i, batch in enumerate(loader):
+            if cfg.trainer.limit_eval_batches is not None and i >= cfg.trainer.limit_eval_batches:
+                break
+            res = eval_step(
+                state.params,
+                {
+                    "wave": jnp.asarray(batch["wave"]),
+                    "target": jnp.asarray(
+                        batch["target"].astype(
+                            np.int32 if self.single_label else np.float32
+                        )
+                    ),
+                },
+            )
+            names.extend(batch["name"])
+            outs.append(np.asarray(res["out"]))
+            targets.append(batch["target"])
+        out = np.concatenate(outs)
+        target = np.concatenate(targets)
+        path = out_path or os.path.join(
+            cfg.trainer.checkpoint_dir or ".", "predictions.npz"
+        )
+        np.savez(path, names=np.asarray(names), out=out, target=target)
+        print(f"wrote {len(names)} predictions to {path}")
+        return {"n": len(names), "path": path}
+
     def print_named_configs(self, cfg: ExperimentConfig) -> Dict:
         """List available presets (reference print_named_configs,
         README.md:253-256)."""
@@ -439,6 +475,7 @@ class Experiment:
         "main",
         "evaluate_only",
         "evaluate_ensemble",
+        "predict",
         "model_speed_test",
         "test_loaders",
         "print_config",

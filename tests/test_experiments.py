@@ -155,3 +155,48 @@ def test_test_loaders_and_print_config(tmp_path, rng_np, capsys):
     exp.print_config(cfg)
     captured = capsys.readouterr().out
     assert '"batch_size": 4' in captured
+
+
+def test_predict_command(tmp_path, rng_np, monkeypatch):
+    import dataclasses
+
+    import passt_tpu.models.registry as registry
+
+    exp = EXPERIMENTS["audioset"]
+    path = _make_synth(tmp_path, rng_np, classes=527)
+    cfg = _shrink(exp.default_config, path, 527)
+    cfg = apply_overrides(
+        cfg,
+        {"trainer.checkpoint_dir": str(tmp_path), "trainer.limit_eval_batches": "null"},
+    )
+    spec = registry.ARCHS[cfg.model.arch]
+    monkeypatch.setitem(
+        registry.ARCHS, cfg.model.arch,
+        dataclasses.replace(spec, depth=1, embed_dim=64, num_heads=4),
+    )
+    res = exp.predict(cfg)
+    assert res["n"] == 24
+    data = np.load(res["path"])
+    assert data["out"].shape == (24, 527)
+    assert (data["out"] >= 0).all() and (data["out"] <= 1).all()
+    assert data["names"].shape == (24,)
+
+
+def test_model_speed_test_smoke(monkeypatch):
+    import dataclasses
+
+    import passt_tpu.models.registry as registry
+
+    exp = EXPERIMENTS["audioset"]
+    cfg = apply_overrides(
+        exp.default_config,
+        {"model.input_tdim": "98", "model.s_patchout_t": "2", "model.s_patchout_f": "1",
+         "model.dtype": "float32"},
+    )
+    spec = registry.ARCHS[cfg.model.arch]
+    monkeypatch.setitem(
+        registry.ARCHS, cfg.model.arch,
+        dataclasses.replace(spec, depth=1, embed_dim=64, num_heads=4),
+    )
+    res = exp.model_speed_test(cfg, speed_test_batch_size=2, test_length=3)
+    assert res["specs_per_second"] > 0
