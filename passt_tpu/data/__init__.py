@@ -5,6 +5,7 @@ from passt_tpu.data.datasets import (
     MapDataset,
     WavMixDataset,
     CachedDataset,
+    FolderDataset,
     pad_or_truncate,
     random_crop,
     stride_resample,
@@ -26,6 +27,7 @@ __all__ = [
     "MapDataset",
     "WavMixDataset",
     "CachedDataset",
+    "FolderDataset",
     "pad_or_truncate",
     "random_crop",
     "stride_resample",

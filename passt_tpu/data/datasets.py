@@ -238,6 +238,53 @@ class HDF5AudioDataset(AudioDataset):
         return waveform, name, target
 
 
+class FolderDataset(AudioDataset):
+    """A directory of .wav files (decode-free inference input; the
+    reference ecosystem's hear21passt consumes raw files the same way).
+    Targets are zeros unless a ``labels`` dict (filename -> multi-hot or
+    int) is given."""
+
+    def __init__(
+        self,
+        root: str,
+        num_classes: int = 527,
+        sample_rate: int = 32000,
+        clip_length: Optional[float] = None,
+        labels: Optional[dict] = None,
+    ):
+        import glob
+        import os
+
+        self.files = sorted(glob.glob(os.path.join(root, "**", "*.wav"), recursive=True))
+        if not self.files:
+            raise FileNotFoundError(f"no .wav files under {root}")
+        self.num_classes = num_classes
+        self.sample_rate = sample_rate
+        self.clip_samples = None if clip_length is None else int(clip_length * sample_rate)
+        self.labels = labels or {}
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, index: int) -> Item:
+        import os
+
+        path = self.files[index]
+        with open(path, "rb") as f:
+            wave = _decode_wav(np.frombuffer(f.read(), dtype=np.uint8))
+        if self.clip_samples is not None:
+            wave = pad_or_truncate(wave, self.clip_samples)
+        name = os.path.basename(path)
+        label = self.labels.get(name)
+        if label is None:
+            target = np.zeros(self.num_classes, dtype=np.float32)
+        elif np.isscalar(label) or np.asarray(label).ndim == 0:
+            target = np.asarray(label, dtype=np.float32)
+        else:
+            target = np.asarray(label, dtype=np.float32)
+        return wave.astype(np.float32), name, target
+
+
 class ConcatDataset(AudioDataset):
     """Concatenation (reference uses torch ConcatDataset for
     balanced+unbalanced AudioSet, audioset/dataset.py:239-243)."""

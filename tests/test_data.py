@@ -217,3 +217,26 @@ def test_extra_ramp_functions():
     assert cd(95) > cd(99) > 0.0  # monotone tail (reaches 0 at ep=rampdown)
     w = exp_warmup(5, 10, 100)
     assert w(0) < 0.1 and abs(w(50) - 1.0) < 1e-9 and w(99) < 0.2
+
+
+def test_folder_dataset(tmp_path, rng_np):
+    import wave as wavemod
+
+    from passt_tpu.data import FolderDataset
+
+    for i in range(3):
+        x = (rng_np.standard_normal(16000) * 3000).astype(np.int16)
+        with wavemod.open(str(tmp_path / f"a{i}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(32000)
+            w.writeframes(x.tobytes())
+    ds = FolderDataset(str(tmp_path), num_classes=8, clip_length=1)
+    assert len(ds) == 3
+    wave, name, target = ds[0]
+    assert wave.shape == (32000,) and name == "a0.wav"
+    assert target.shape == (8,) and (target == 0).all()
+    ds2 = FolderDataset(str(tmp_path), num_classes=8, labels={"a1.wav": np.eye(8)[2]})
+    assert ds2[1][2][2] == 1.0
+    with pytest.raises(FileNotFoundError):
+        FolderDataset(str(tmp_path / "empty"))

@@ -116,3 +116,14 @@ def test_mel_forward_channel_wrapper(rng_np):
     assert out.shape == (2, 1, 128, cfg.frames(32000))
     flat = log_mel_spectrogram(wave[:, 0, :], cfg)
     np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(flat))
+
+
+@pytest.mark.parametrize("hop,expected_frames", [(100, 3200), (160, 2000)])
+def test_hop_variant_geometry(rng_np, hop, expected_frames):
+    """hop100/160 checkpoint geometries (reference passt.py:219-226:
+    10 s at hop 100 -> ~3200 frames, hop 160 -> ~2000)."""
+    cfg = MelConfig(hopsize=hop)
+    assert cfg.frames(320000) == expected_frames
+    wave = jnp.asarray(rng_np.standard_normal((1, 32000)).astype(np.float32))
+    out = log_mel_spectrogram(wave, cfg)
+    assert out.shape == (1, 128, cfg.frames(32000))
