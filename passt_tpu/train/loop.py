@@ -168,27 +168,53 @@ def fit(
             options=ocp.CheckpointManagerOptions(max_to_keep=keep_last_n),
         )
 
+    interrupted = False
     for epoch in range(start_epoch, max_epochs):
-        train_loader.set_epoch(epoch)
         t_epoch = time.time()
         n_batches = 0
         pending_loss = None
-        for i, batch in enumerate(train_loader):
-            if limit_train_batches is not None and i >= limit_train_batches:
-                break
-            dev_batch = {
-                "wave": device_put(batch["wave"]),
-                "target": device_put(
-                    batch["target"].astype(np.int32 if single_label else np.float32)
-                ),
-            }
-            state, metrics = train_step(state, dev_batch, base_rng)
-            n_batches += 1
-            pending_loss = metrics["loss"]
-            if (i + 1) % log_every_steps == 0:
-                logger.log(
-                    {"epoch": epoch, "step": int(state.step), "loss": float(pending_loss)}
-                )
+        try:
+            train_loader.set_epoch(epoch)
+            for i, batch in enumerate(train_loader):
+                if limit_train_batches is not None and i >= limit_train_batches:
+                    break
+                dev_batch = {
+                    "wave": device_put(batch["wave"]),
+                    "target": device_put(
+                        batch["target"].astype(np.int32 if single_label else np.float32)
+                    ),
+                }
+                state, metrics = train_step(state, dev_batch, base_rng)
+                n_batches += 1
+                pending_loss = metrics["loss"]
+                if (i + 1) % log_every_steps == 0:
+                    logger.log(
+                        {"epoch": epoch, "step": int(state.step), "loss": float(pending_loss)}
+                    )
+        except KeyboardInterrupt:
+            # Save a checkpoint so the interrupted run resumes cleanly
+            # (the reference has no interrupt handling; PL just dies).
+            print("interrupted: saving checkpoint before exit")
+            interrupted = True
+
+        if interrupted:
+            if ckpt_mgr is not None:
+                import orbax.checkpoint as ocp
+
+                payload = {
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                }
+                if swa_state is not None:
+                    payload["swa_params"] = swa_state.avg_params
+                    payload["swa_n"] = jnp.int32(swa_state.n_averaged)
+                # saved under the previous completed epoch id (resume
+                # restarts this epoch from its beginning)
+                ckpt_mgr.save(max(epoch - 1, 0), args=ocp.args.StandardSave(payload))
+                ckpt_mgr.wait_until_finished()
+            break
+
         epoch_time = time.time() - t_epoch
 
         record: Dict[str, float] = {

@@ -133,3 +133,33 @@ def test_verbose_shapes_prints(capsys):
     model, params = init_passt(cfg, jax.random.PRNGKey(0))
     out = capsys.readouterr().out
     assert "patch_embed" in out and "final sequence" in out
+
+
+def test_fit_interrupt_saves_checkpoint(tmp_path, rng_np):
+    """KeyboardInterrupt mid-training saves a resumable checkpoint."""
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+
+    calls = {"n": 0}
+
+    def interrupting_step(st, batch, rng):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt
+        return step(st, batch, rng)
+
+    ckpt = str(tmp_path / "ckpt_int")
+    res = fit(
+        train_step=interrupting_step,
+        eval_step=ev,
+        state=state,
+        train_loader=_ListLoader(batches),
+        max_epochs=5,
+        base_rng=jax.random.PRNGKey(1),
+        checkpoint_dir=ckpt,
+        logger=MetricsLogger(quiet=True),
+    )
+    # interrupted in epoch 1 after 2 full steps; state has step=2
+    assert int(res.state.step) == 2
+    model2, fresh = _setup(rng_np)[2:4]
+    restored, _, epoch = restore_checkpoint(ckpt, fresh)
+    assert int(restored.step) == 2
