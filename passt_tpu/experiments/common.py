@@ -371,7 +371,9 @@ class Experiment:
             y = jnp.ones((b, n_out), jnp.float32)
         rng = jax.random.PRNGKey(0)
 
-        def run_n(state, n):
+        # x/y MUST be jit arguments: arrays captured as graph constants run
+        # ~29x slower on this platform (see .claude/skills/verify/SKILL.md).
+        def run_n(state, x, y, n):
             def body(_, carry):
                 st, acc = carry
                 st, m = raw_step(st, {"mel": x, "target": y}, rng)
@@ -379,10 +381,13 @@ class Experiment:
 
             return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
 
-        fn = jax.jit(run_n, static_argnums=(1,), donate_argnums=(0,))
-        state, _ = fn(state, 10)  # warmup (ex_audioset.py:399 does 10 iters)
+        fn = jax.jit(run_n, static_argnums=(3,), donate_argnums=(0,))
+        # Warm up with the SAME static length: a different n is a different
+        # compiled graph, and the compile would dominate the timing.
+        state, loss = fn(state, x, y, test_length)
+        float(loss)
         t0 = time.perf_counter()
-        state, loss = fn(state, test_length)
+        state, loss = fn(state, x, y, test_length)
         float(loss)
         dt = time.perf_counter() - t0
         speed = test_length * b / dt
