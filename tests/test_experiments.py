@@ -200,3 +200,49 @@ def test_model_speed_test_smoke(monkeypatch):
     )
     res = exp.model_speed_test(cfg, speed_test_batch_size=2, test_length=3)
     assert res["specs_per_second"] > 0
+
+
+def test_evaluate_ensemble_command(tmp_path, rng_np, monkeypatch):
+    """End-to-end ensemble evaluation with tiny models and ported-npz
+    checkpoints on synthetic data."""
+    import dataclasses
+
+    import jax
+
+    import passt_tpu.models.registry as registry
+    from passt_tpu.models.passt import init_passt
+    from passt_tpu.models.pretrained import save_params_npz
+
+    # Shrink every arch in a 2-model ensemble and write npz "checkpoints".
+    arch_list, _ = registry.ENSEMBLES["ensemble_s16_14"]
+    for i, (arch, fs, ts) in enumerate(arch_list):
+        spec = registry.ARCHS[arch]
+        monkeypatch.setitem(
+            registry.ARCHS, arch,
+            dataclasses.replace(spec, depth=1, embed_dim=64, num_heads=4),
+        )
+        cfg_i = registry.get_model_config(
+            arch, n_classes=8, fstride=fs, tstride=ts, input_tdim=98
+        )
+        _, params = init_passt(cfg_i, jax.random.PRNGKey(i))
+        save_params_npz(str(tmp_path / f"{arch}.npz"), params)
+
+    path = _make_synth(tmp_path, rng_np, classes=8)
+    exp = EXPERIMENTS["audioset"]
+    cfg = apply_overrides(
+        exp.default_config,
+        {
+            "model.ensemble": "ensemble_s16_14",
+            "model.ensemble_checkpoint_dir": str(tmp_path),
+            "model.n_classes": "8",
+            "model.input_tdim": "98",
+            "data.num_classes": "8",
+            "data.eval_hdf5": path,
+            "data.clip_length": "1",
+            "data.eval_batch_size": "8",
+            "trainer.limit_eval_batches": "2",
+        },
+    )
+    res = exp.evaluate_ensemble(cfg)
+    assert 0.0 <= res["ap"] <= 1.0
+    assert res["published_map"] == 0.48579
