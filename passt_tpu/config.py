@@ -94,6 +94,9 @@ class TrainerConfig:
     checkpoint_dir: Optional[str] = None
     keep_last_n: int = 1
     resume: bool = False  # resume from the latest checkpoint in checkpoint_dir
+    dump_spectrograms: int = 0  # save the first N training batches' mels as
+    # .npy under checkpoint_dir (the reference logs the first 5 steps'
+    # spectrogram images to wandb, ex_audioset.py:161-167)
     log_every_steps: int = 50
     n_data: Optional[int] = None  # mesh axes; default all devices on data
     n_model: int = 1

@@ -280,6 +280,8 @@ class Experiment:
             single_label=self.single_label,
             lr_schedule=self._schedule(cfg),
             start_epoch=start_epoch,
+            dump_spectrograms=cfg.trainer.dump_spectrograms,
+            mel_cfg=cfg.mel,
         )
         return {"done": True, "history": result.history}
 

@@ -154,6 +154,8 @@ def fit(
     start_epoch: int = 0,
     device_put: Callable = jnp.asarray,
     lr_schedule: Optional[Callable] = None,
+    dump_spectrograms: int = 0,
+    mel_cfg=None,
 ) -> FitResult:
     logger = logger or MetricsLogger()
     swa_state = None
@@ -184,6 +186,21 @@ def fit(
                         batch["target"].astype(np.int32 if single_label else np.float32)
                     ),
                 }
+                if (
+                    dump_spectrograms
+                    and epoch == start_epoch
+                    and i < dump_spectrograms
+                    and checkpoint_dir
+                    and mel_cfg is not None
+                ):
+                    # visual sanity dump (reference wandb spectrogram images,
+                    # ex_audioset.py:161-167) — eval-mode mel of this batch
+                    from passt_tpu.ops.frontend import log_mel_spectrogram
+
+                    mel_img = np.asarray(
+                        log_mel_spectrogram(dev_batch["wave"], mel_cfg, train=False)
+                    )
+                    np.save(os.path.join(checkpoint_dir, f"spectrograms_step{i}.npy"), mel_img)
                 state, metrics = train_step(state, dev_batch, base_rng)
                 n_batches += 1
                 pending_loss = metrics["loss"]

@@ -163,3 +163,25 @@ def test_fit_interrupt_saves_checkpoint(tmp_path, rng_np):
     model2, fresh = _setup(rng_np)[2:4]
     restored, _, epoch = restore_checkpoint(ckpt, fresh)
     assert int(restored.step) == 2
+
+
+def test_spectrogram_dump(tmp_path, rng_np):
+    import os
+
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    fit(
+        train_step=step,
+        eval_step=ev,
+        state=state,
+        train_loader=_ListLoader(batches),
+        max_epochs=1,
+        base_rng=jax.random.PRNGKey(1),
+        checkpoint_dir=str(tmp_path),
+        logger=MetricsLogger(quiet=True),
+        dump_spectrograms=2,
+        mel_cfg=MelConfig(n_mels=32, freqm=4, timem=8),
+    )
+    a = np.load(tmp_path / "spectrograms_step0.npy")
+    assert a.shape[0] == 4 and a.shape[1] == 32
+    assert os.path.exists(tmp_path / "spectrograms_step1.npy")
+    assert not os.path.exists(tmp_path / "spectrograms_step2.npy")
