@@ -186,21 +186,32 @@ def fit(
                         batch["target"].astype(np.int32 if single_label else np.float32)
                     ),
                 }
+                # Visual sanity dump of the *augmented* training input
+                # (reference wandb spectrogram images, ex_audioset.py:161-167,
+                # gated on global_step like the reference so resume does not
+                # overwrite the true first-steps snapshots).
+                global_step = int(state.step)
                 if (
                     dump_spectrograms
-                    and epoch == start_epoch
-                    and i < dump_spectrograms
-                    and checkpoint_dir
+                    and global_step < dump_spectrograms
                     and mel_cfg is not None
+                    and jax.process_index() == 0
                 ):
-                    # visual sanity dump (reference wandb spectrogram images,
-                    # ex_audioset.py:161-167) — eval-mode mel of this batch
                     from passt_tpu.ops.frontend import log_mel_spectrogram
 
+                    out_dir = checkpoint_dir or "."
                     mel_img = np.asarray(
-                        log_mel_spectrogram(dev_batch["wave"], mel_cfg, train=False)
+                        log_mel_spectrogram(
+                            dev_batch["wave"], mel_cfg,
+                            rng=jax.random.fold_in(base_rng, global_step),
+                            train=True,
+                        )
                     )
-                    np.save(os.path.join(checkpoint_dir, f"spectrograms_step{i}.npy"), mel_img)
+                    os.makedirs(out_dir, exist_ok=True)
+                    np.save(
+                        os.path.join(out_dir, f"spectrograms_step{global_step}.npy"),
+                        mel_img,
+                    )
                 state, metrics = train_step(state, dev_batch, base_rng)
                 n_batches += 1
                 pending_loss = metrics["loss"]

@@ -166,6 +166,8 @@ def test_fit_interrupt_saves_checkpoint(tmp_path, rng_np):
 
 
 def test_spectrogram_dump(tmp_path, rng_np):
+    """dump_spectrograms=1 with 2 batches x 2 epochs: the global-step gate
+    must stop after the first step and never re-fire."""
     import os
 
     cfg, tx, model, state, step, ev, batches = _setup(rng_np)
@@ -174,14 +176,16 @@ def test_spectrogram_dump(tmp_path, rng_np):
         eval_step=ev,
         state=state,
         train_loader=_ListLoader(batches),
-        max_epochs=1,
+        max_epochs=2,
         base_rng=jax.random.PRNGKey(1),
         checkpoint_dir=str(tmp_path),
         logger=MetricsLogger(quiet=True),
-        dump_spectrograms=2,
+        dump_spectrograms=1,
         mel_cfg=MelConfig(n_mels=32, freqm=4, timem=8),
     )
     a = np.load(tmp_path / "spectrograms_step0.npy")
     assert a.shape[0] == 4 and a.shape[1] == 32
-    assert os.path.exists(tmp_path / "spectrograms_step1.npy")
-    assert not os.path.exists(tmp_path / "spectrograms_step2.npy")
+    # train-mode mel: SpecAugment zeros appear as the normalized 0.9 value
+    assert np.isclose(a, 0.9, atol=1e-6).any()
+    for s in (1, 2, 3):
+        assert not os.path.exists(tmp_path / f"spectrograms_step{s}.npy")
