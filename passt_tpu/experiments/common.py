@@ -278,6 +278,7 @@ class Experiment:
             checkpoint_dir=cfg.trainer.checkpoint_dir,
             keep_last_n=cfg.trainer.keep_last_n,
             single_label=self.single_label,
+            masked=cfg.trainer.loss_type == "masked",
             lr_schedule=self._schedule(cfg),
             start_epoch=start_epoch,
             dump_spectrograms=cfg.trainer.dump_spectrograms,
@@ -296,6 +297,7 @@ class Experiment:
             val_loader,
             cfg.trainer.limit_eval_batches,
             self.single_label,
+            cfg.trainer.loss_type == "masked",
         )
         print({"validation": metrics})
         return metrics

@@ -130,9 +130,9 @@ def convert_torch_state_dict(
     """Convert a (reference-layout) torch state dict to this framework's
     flax param tree. ``init_params`` supplies values for anything the
     checkpoint legitimately lacks (e.g. a dropped classifier head)."""
-    sd = {k: _t(v) for k, v in state_dict.items()}
     if "model" in state_dict and not hasattr(state_dict["model"], "shape"):
-        sd = {k: _t(v) for k, v in state_dict["model"].items()}  # deit wrapper
+        state_dict = state_dict["model"]  # deit wrapper (unwrap before _t)
+    sd = {k: _t(v) for k, v in state_dict.items()}
 
     d = cfg.embed_dim
     f_grid, t_grid = cfg.grid_size
@@ -169,10 +169,12 @@ def convert_torch_state_dict(
         params["new_pos_embed"] = jnp.asarray(take("new_pos_embed"))
 
     params["cls_token"] = jnp.asarray(take("cls_token"))
-    if cfg.distilled:
+    if cfg.distilled and "dist_token" in sd:
         params["dist_token"] = jnp.asarray(take("dist_token"))
     elif "dist_token" in sd:
         consumed.add("dist_token")
+    # (distilled cfg + checkpoint without dist_token: filled from
+    # init_params below, mirroring the reference's non-strict load)
 
     # --- patch embedding --------------------------------------------------
     w = take("patch_embed.proj.weight")

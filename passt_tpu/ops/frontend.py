@@ -133,11 +133,9 @@ def log_mel_spectrogram(
     if method == "auto":
         # Fused kernel needs lane-aligned geometry (holds for the default
         # hop 320 / n_fft 1024 but not e.g. the hop100/160 variants).
-        kernel_ok = (
-            (2 * cfg.hopsize) % 128 == 0
-            and cfg.n_fft % 128 == 0
-            and (128 * cfg.hopsize) % 1024 == 0
-        )
+        from passt_tpu.ops.pallas.mel_kernel import kernel_supports
+
+        kernel_ok = kernel_supports(cfg.hopsize, cfg.n_fft)
         method = "pallas" if (jax.default_backend() == "tpu" and kernel_ok) else "matmul"
 
     if method == "pallas":
@@ -149,10 +147,9 @@ def log_mel_spectrogram(
             log_offset=LOG_OFFSET, norm_shift=0.0, norm_scale=1.0,
         )  # un-normalized log-mel; masks+normalization applied below
     else:
-        x = wave.astype(jnp.float32)
-        # Pre-emphasis (valid conv with kernel [-0.97, 1] -> length T-1).
-        x = x[:, 1:] - 0.97 * x[:, :-1]
+        from passt_tpu.ops.stft import preemphasis
 
+        x = preemphasis(wave)
         power = stft_power(
             x, cfg.n_fft, cfg.hopsize, cfg.win_length, center=True, method=method
         )  # [B, n_fft//2+1, frames]

@@ -14,20 +14,25 @@ masks are applied to the output (XLA fuses them into the copy-out).
 
 Framing without gathers, in lane-tiled space
 --------------------------------------------
-Mosaic vectors are (sublane, lane=128)-tiled, and hop=320 is not a lane
-multiple — but ``2*hop = 640 = 5 rows`` of 128 is. So the host passes TWO
-lane-tiled copies of the (pre-emphasized, reflect-padded) wave: the
-original, and one shifted by 320-256=64... precisely: even-indexed frames
-start at sample ``j*640`` (row ``5j``, lane offset 0) in the original; odd
-frames start at ``j*640 + 320``, which in a copy shifted by 64 samples is
-``j*640 + 256`` — row ``5j + 2``, lane offset 0 again. Each half-block of
-64 frames is then assembled from two static group-of-5-rows views and one
-concat — every reshape stays tile-aligned. The kernel emits the two
-parities separately ([..., block, parity, 64] order) and a single cheap XLA
-transpose interleaves them back to frame order.
+Mosaic vectors are (sublane, lane=128)-tiled and ``hop`` need not be a lane
+multiple, but ``2*hop`` must be (the kernel validates this): even-indexed
+frames then start lane-aligned in the wave, and odd-indexed frames start
+lane-aligned in a copy shifted by ``hop % 128`` samples. Each parity half
+(64 frames) is assembled **one frame-row at a time**: frame j's r-th
+128-sample row lives at a fixed (group-offset, row-in-group) in the
+group-of-``2*hop/128``-rows view, so ``n_fft/128`` static strided views +
+one concat produce the [64, n_fft] framed matrix — every reshape is
+tile-aligned, for any conforming hop (320, 448, 256, ...). The kernel
+emits the two parities separately ([..., block, parity, 64] lane order)
+and a single cheap XLA transpose interleaves them back to frame order.
+
+Both matmuls run at ``Precision.HIGHEST`` — a plain f32 dot lowers to a
+single-pass bf16 MXU matmul inside Mosaic, whose rounding at spectral nulls
+explodes after the log (observed max-err ~1.2 on normalized log-mels).
 
 The XLA composition in ``passt_tpu.ops.frontend`` remains the behavioral
-reference; this kernel is selected with ``MelConfig(stft_method="pallas")``.
+reference; this kernel is selected with ``MelConfig(stft_method="pallas")``
+(or ``"auto"`` on TPU).
 """
 
 from __future__ import annotations
@@ -47,12 +52,22 @@ FRAME_BLOCK = 128  # frames per grid cell (64 even + 64 odd)
 _LANE = 128
 
 
+def kernel_supports(hop: int, n_fft: int) -> bool:
+    """True iff the fused kernel's framing scheme handles this geometry."""
+    return (
+        (2 * hop) % _LANE == 0
+        and n_fft % _LANE == 0
+        and (FRAME_BLOCK * hop) % (8 * _LANE) == 0
+        and (hop % _LANE) in (0, 64)
+    )
+
+
 def _mel_kernel(
     w0_ref,  # [1, R, 128] f32 wave, lane-tiled
-    w64_ref,  # [1, R, 128] f32 wave shifted by 64 samples
+    wsh_ref,  # [1, R, 128] f32 wave shifted by hop % 128 samples
     basis_ref,  # [n_fft, 2 * n_bins] f32 windowed DFT basis
     bank_ref,  # [n_freq, n_mels] f32 mel bank (transposed)
-    out_ref,  # [1, n_mels, 2, 64] per (b, fb): parity-major frame halves
+    out_ref,  # [1, n_mels, FRAME_BLOCK]: lanes = [even 64 | odd 64]
     *,
     hop: int,
     n_fft: int,
@@ -63,34 +78,35 @@ def _mel_kernel(
     fb = pl.program_id(1)
     n_bins = basis_ref.shape[1] // 2
     n_freq = bank_ref.shape[0]
-    half = FRAME_BLOCK // 2  # 64 frames per parity
-    rows_per_2hop = 2 * hop // _LANE  # 5
-    frame_rows = n_fft // _LANE  # 8
+    half = FRAME_BLOCK // 2
+    rpt = 2 * hop // _LANE  # rows per 2-hop group
+    frame_rows = n_fft // _LANE
 
-    # Rows covering this block: half*5 + 8 rows, padded to a multiple of 8
-    # for aligned sublane slicing; row start fb*(FRAME_BLOCK*hop/128) is a
-    # multiple of 8 (320 per block).
-    need_rows = half * rows_per_2hop + frame_rows  # 328
+    # Rows covering this block (aligned start: FRAME_BLOCK*hop/128 is a
+    # multiple of 8 by kernel_supports).
+    odd_row_shift = (hop - (hop % _LANE)) // _LANE
+    max_shift = max(0, odd_row_shift)
+    need_groups = half + (max_shift + frame_rows + rpt - 1) // rpt
+    need_rows = need_groups * rpt
     row0 = fb * (FRAME_BLOCK * hop // _LANE)
 
     def frames_of(parity_ref, row_shift: int):
-        w = parity_ref[0, pl.ds(row0, need_rows), :]  # [328, 128]
-        g = w[: (half + 1) * rows_per_2hop].reshape(half + 1, rows_per_2hop, _LANE)
-        lead = frame_rows - (rows_per_2hop - row_shift)  # rows taken from group j+1
-        a = g[:half, row_shift:]  # [64, 5-row_shift, 128]
-        b = g[1 : half + 1, :lead]  # [64, lead, 128]
-        return jnp.concatenate([a, b], axis=1).reshape(half, n_fft)
+        w = parity_ref[0, pl.ds(row0, need_rows), :]  # [need_rows, 128]
+        g = w.reshape(need_groups, rpt, _LANE)
+        # Frame j's row r sits at group j + (row_shift+r)//rpt,
+        # row-in-group (row_shift+r) % rpt — one static view per frame row.
+        rows = []
+        for r in range(frame_rows):
+            gi, ri = divmod(row_shift + r, rpt)
+            rows.append(g[gi : gi + half, ri])  # [half, 128]
+        return jnp.concatenate(rows, axis=1)  # [half, n_fft]
 
-    # Even frames: row offset 0 in w0. Odd frames: row offset 2 in w64
-    # (start sample j*640 + 320 = (j*640 + 256) + 64).
+    shift_samples = hop % _LANE
+    odd_ref = wsh_ref if shift_samples else w0_ref
     framed = jnp.concatenate(
-        [frames_of(w0_ref, 0), frames_of(w64_ref, 2)], axis=0
+        [frames_of(w0_ref, 0), frames_of(odd_ref, odd_row_shift)], axis=0
     )  # [128, n_fft] — first 64 rows even frames, last 64 odd
 
-    # HIGHEST precision is load-bearing: a plain f32 dot lowers to a
-    # single-pass bf16 MXU matmul inside Mosaic, whose rounding at spectral
-    # nulls explodes after the log (observed max-err ~1.2 on normalized
-    # log-mels); HIGHEST forces the multi-pass f32 path.
     dot_f32 = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -104,7 +120,6 @@ def _mel_kernel(
     mel = dot_f32(power[:, :n_freq], bank_ref[...])
     mel = jnp.log(mel + log_offset)
     mel = (mel + norm_shift) / norm_scale  # [128, n_mels]
-    # Lanes hold [even 64 | odd 64] frames — de-interleaved by the caller.
     out_ref[0] = mel.T
 
 
@@ -134,22 +149,28 @@ def fused_log_mel(
     assert wave.ndim == 2
     b, t = wave.shape
     n_mels, n_freq = mel_bank.shape
-    assert (2 * hop) % _LANE == 0 and n_fft % _LANE == 0, (
-        "kernel requires 2*hop and n_fft to be lane multiples"
-    )
-    assert (FRAME_BLOCK * hop) % (8 * _LANE) == 0
+    if not kernel_supports(hop, n_fft):
+        raise ValueError(
+            f"fused mel kernel does not support hop={hop}, n_fft={n_fft} "
+            "(needs 2*hop and n_fft lane-aligned and hop % 128 in {0, 64}); "
+            "use stft_method='matmul'"
+        )
 
-    x = wave.astype(jnp.float32)
-    x = x[:, 1:] - 0.97 * x[:, :-1]  # pre-emphasis (preprocess.py:59)
-    pad = n_fft // 2
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    from passt_tpu.ops.stft import preemphasis, reflect_pad_center
+
+    x = reflect_pad_center(preemphasis(wave), n_fft)
 
     frames = 1 + (x.shape[1] - n_fft) // hop
     n_blocks = -(-frames // FRAME_BLOCK)
-    rows = (FRAME_BLOCK // 2) * (2 * hop) // _LANE * n_blocks + n_fft // _LANE
+    rpt = 2 * hop // _LANE
+    half = FRAME_BLOCK // 2
+    odd_row_shift = (hop - (hop % _LANE)) // _LANE
+    need_groups = half + (odd_row_shift + n_fft // _LANE + rpt - 1) // rpt
+    rows = (n_blocks - 1) * (FRAME_BLOCK * hop // _LANE) + need_groups * rpt
     rows = -(-rows // 8) * 8
     x0 = _tile(x, rows)
-    x64 = _tile(x[:, 64:], rows)
+    shift = hop % _LANE
+    xsh = _tile(x[:, shift:], rows) if shift else x0
 
     basis = jnp.asarray(make_stft_filters(n_fft, win_length)).T  # [n_fft, 2*bins]
 
@@ -176,7 +197,7 @@ def fused_log_mel(
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_mels, n_blocks * FRAME_BLOCK), jnp.float32),
         interpret=interpret,
-    )(x0, x64, basis, mel_bank.T.astype(jnp.float32))
+    )(x0, xsh, basis, mel_bank.T.astype(jnp.float32))
 
     # De-interleave parities: lanes are [even 64 | odd 64] per block; frame
     # index = 2q + p for lane p*64 + q.

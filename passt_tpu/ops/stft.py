@@ -67,9 +67,24 @@ def make_stft_filters(n_fft: int, win_length: int) -> np.ndarray:
     return np.concatenate([cos_f, sin_f], axis=0).astype(np.float32)
 
 
-def _center_pad(x: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+PREEMPHASIS_COEFF = 0.97  # reference preprocess.py:46
+
+
+def preemphasis(x: jnp.ndarray, coeff: float = PREEMPHASIS_COEFF) -> jnp.ndarray:
+    """Pre-emphasis ``y[t] = x[t+1] - coeff*x[t]`` (valid conv with kernel
+    [-coeff, 1], reference preprocess.py:46,59); output is one sample
+    shorter. Shared by the XLA and Pallas frontend paths."""
+    x = x.astype(jnp.float32)
+    return x[:, 1:] - coeff * x[:, :-1]
+
+
+def reflect_pad_center(x: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """torch.stft center=True reflect padding (n_fft//2 both sides)."""
     pad = n_fft // 2
     return jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+
+
+_center_pad = reflect_pad_center
 
 
 def stft_power_conv(

@@ -90,6 +90,7 @@ def evaluate(
     loader,
     limit_batches: Optional[int] = None,
     single_label: bool = False,
+    masked: bool = False,
 ) -> Dict[str, float]:
     """Run the eval loader, compute loss + AP/ROC (multilabel) or accuracy
     (single-label) on host — reference validation_epoch_end
@@ -115,6 +116,16 @@ def evaluate(
     metrics: Dict[str, float] = {"val_loss": float(np.mean(losses)), "n_eval": len(out)}
     if single_label:
         metrics["accuracy"] = float((out.argmax(axis=1) == target.reshape(-1)).mean())
+    elif masked:
+        # OpenMIC protocol: targets are [labels || observed-mask]; every
+        # metric counts only observed labels per class (the reference
+        # weights sklearn metrics by y_mask per class).
+        from passt_tpu.train.metrics import masked_mean_average_precision
+
+        k = target.shape[1] // 2
+        labels, mask = (target[:, :k] > 0.5).astype(np.float64), target[:, k:]
+        metrics["ap"] = masked_mean_average_precision(labels, out, mask)
+        metrics["allap"] = metrics["ap"]
     else:
         metrics["ap"] = mean_average_precision(target, out)
         try:
@@ -151,6 +162,7 @@ def fit(
     checkpoint_dir: Optional[str] = None,
     keep_last_n: int = 1,
     single_label: bool = False,
+    masked: bool = False,
     start_epoch: int = 0,
     device_put: Callable = jnp.asarray,
     lr_schedule: Optional[Callable] = None,
@@ -266,11 +278,14 @@ def fit(
                 record["swa_n"] = swa_state.n_averaged
 
         if val_loader is not None and (epoch + 1) % eval_every == 0:
-            em = evaluate(eval_step, state.params, val_loader, limit_eval_batches, single_label)
+            em = evaluate(
+                eval_step, state.params, val_loader, limit_eval_batches, single_label, masked
+            )
             record.update(em)
             if swa_state is not None and swa_state.n_averaged > 0:
                 sm = evaluate(
-                    eval_step, swa_state.avg_params, val_loader, limit_eval_batches, single_label
+                    eval_step, swa_state.avg_params, val_loader, limit_eval_batches,
+                    single_label, masked,
                 )
                 record.update({f"swa_{k}": v for k, v in sm.items()})
 

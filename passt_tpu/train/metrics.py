@@ -80,6 +80,25 @@ def roc_auc(targets: np.ndarray, scores: np.ndarray) -> np.ndarray:
     return out
 
 
+def masked_mean_average_precision(
+    targets: np.ndarray, scores: np.ndarray, mask: np.ndarray
+) -> float:
+    """Class-mean AP where each class only counts samples whose label was
+    observed (the OpenMIC protocol: the reference passes
+    ``sample_weight=y_mask[:, i]`` per class, ex_openmic.py validation)."""
+    targets = np.asarray(targets, dtype=np.float64)
+    scores = np.asarray(scores, dtype=np.float64)
+    mask = np.asarray(mask) > 0.5
+    aps = []
+    for j in range(scores.shape[1]):
+        m = mask[:, j]
+        t, s = targets[m, j], scores[m, j]
+        if t.size == 0 or t.sum() == 0:
+            continue
+        aps.append(float(average_precision(t[:, None], s[:, None])[0]))
+    return float(np.mean(aps)) if aps else float("nan")
+
+
 def mean_average_precision(targets: np.ndarray, scores: np.ndarray, use_sklearn: bool = True) -> float:
     """Class-mean AP — the reference's headline 'ap'/'allap' metric
     (ex_audioset.py:256-258, 278-282)."""

@@ -159,9 +159,13 @@ def make_eval_step(
     loss_type: str = "multilabel",
     input_tdim: Optional[int] = None,
 ):
-    """Jitted eval step: (params, batch) -> dict(out=probabilities (or
-    logits for single-label), loss) — the reference ``validation_step``
-    compute (ex_audioset.py:216-243, minus host-side metric collection)."""
+    """Jitted eval step: (params, batch) -> dict(out, loss, features) — the
+    reference ``validation_step`` compute (ex_audioset.py:216-243, minus
+    host-side metric collection). ``out`` is sigmoid probabilities for
+    multilabel/masked and **log-softmax** for single-label (argmax-safe;
+    not probabilities)."""
+    if loss_type not in LOSS_FNS:
+        raise KeyError(f"unknown loss_type {loss_type!r}; known: {sorted(LOSS_FNS)}")
     tdim = input_tdim if input_tdim is not None else model.cfg.input_tdim
 
     def step_fn(params, batch):

@@ -226,3 +226,25 @@ def test_eval_step_deterministic_and_shapes(rng_np):
     assert out1["out"].shape == (2, 8)
     np.testing.assert_array_equal(np.asarray(out1["out"]), np.asarray(out2["out"]))
     assert (np.asarray(out1["out"]) >= 0).all() and (np.asarray(out1["out"]) <= 1).all()
+
+
+def test_masked_mean_average_precision():
+    """OpenMIC masked metric: unobserved labels must not affect AP."""
+    from passt_tpu.train.metrics import masked_mean_average_precision
+
+    rng = np.random.default_rng(0)
+    n = 100
+    labels = (rng.uniform(size=(n, 3)) < 0.3).astype(np.float64)
+    # perfect scores on observed, garbage on unobserved
+    scores = labels.copy()
+    mask = (rng.uniform(size=(n, 3)) < 0.7).astype(np.float64)
+    scores[mask < 0.5] = rng.uniform(size=int((mask < 0.5).sum()))
+    ap = masked_mean_average_precision(labels, scores, mask)
+    assert ap == pytest.approx(1.0)  # observed part is perfectly ranked
+    # sklearn cross-check with per-class sample weights
+    skm = pytest.importorskip("sklearn.metrics")
+    ref = np.mean([
+        skm.average_precision_score(labels[mask[:, j] > 0.5, j], scores[mask[:, j] > 0.5, j])
+        for j in range(3)
+    ])
+    np.testing.assert_allclose(ap, ref, rtol=1e-9)
