@@ -92,25 +92,50 @@ class DataLoader:
 
 
 class Prefetcher:
-    """Background-thread prefetch with a bounded queue."""
+    """Background-thread prefetch with a bounded queue.
+
+    Call :meth:`stop` (or break out via a ``closing``-style pattern) when
+    abandoning the iterator early — otherwise the worker thread would stay
+    blocked on the bounded queue holding batches and file handles
+    (limit_train_batches/limit_eval_batches break mid-stream every epoch)."""
 
     _DONE = object()
 
     def __init__(self, iterator: Iterator, depth: int = 2):
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self.error: Optional[BaseException] = None
+        self._stopped = False
 
         def worker():
             try:
                 for item in iterator:
-                    self.q.put(item)
+                    while not self._stopped:
+                        try:
+                            self.q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stopped:
+                        return
             except BaseException as e:  # propagate into consumer
                 self.error = e
             finally:
-                self.q.put(self._DONE)
+                try:
+                    self.q.put_nowait(self._DONE)
+                except queue.Full:
+                    pass
 
         self.thread = threading.Thread(target=worker, daemon=True)
         self.thread.start()
+
+    def stop(self) -> None:
+        """Release the worker thread and drop queued batches."""
+        self._stopped = True
+        while True:
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
 
     def __iter__(self):
         return self

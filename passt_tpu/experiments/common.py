@@ -170,13 +170,43 @@ class Experiment:
     single_label: bool = False
 
     # ------------------------------------------------------------------
-    def build(self, cfg: ExperimentConfig, rng: Optional[jax.Array] = None):
+    def _steps_per_epoch(self, cfg: ExperimentConfig, train_loader=None) -> int:
+        """Steps per epoch for the epoch-indexed LR schedule. Must reflect
+        the REAL loader length: deriving it from data.epoch_len when the
+        recipe uses a shuffle sampler (esc50/fsd50k/openmic) freezes the
+        schedule at epoch 0 forever (review finding)."""
+        if cfg.trainer.limit_train_batches:
+            return max(1, cfg.trainer.limit_train_batches)
+        if train_loader is not None:
+            return max(1, len(train_loader))
+        if cfg.data.weighted_sampler:
+            n = cfg.data.epoch_len
+        else:
+            # shuffle sampler: dataset length (readable without decoding)
+            try:
+                import h5py
+
+                n = 0
+                for path in filter(None, [cfg.data.train_hdf5, cfg.data.train_hdf5_extra]):
+                    with h5py.File(path, "r") as f:
+                        n += len(f["audio_name"])
+            except Exception:
+                n = cfg.data.epoch_len
+        num_replicas = cfg.data.num_replicas
+        if num_replicas == 0:
+            num_replicas = jax.process_count()
+        return max(1, n // max(1, num_replicas) // cfg.data.batch_size)
+
+    def build(
+        self,
+        cfg: ExperimentConfig,
+        rng: Optional[jax.Array] = None,
+        steps_per_epoch: Optional[int] = None,
+    ):
         """(model, state, train_step, eval_step, tx) from a config."""
         pcfg = cfg.passt_config()
-        steps_per_epoch = max(
-            1,
-            (cfg.trainer.limit_train_batches or (cfg.data.epoch_len // cfg.data.batch_size)),
-        )
+        if steps_per_epoch is None:
+            steps_per_epoch = self._steps_per_epoch(cfg)
         tx = make_optimizer(
             lr=cfg.trainer.lr,
             weight_decay=cfg.trainer.weight_decay,
@@ -213,13 +243,11 @@ class Experiment:
     # ------------------------------------------------------------------
     # commands
     # ------------------------------------------------------------------
-    def _schedule(self, cfg: ExperimentConfig):
+    def _schedule(self, cfg: ExperimentConfig, steps_per_epoch: Optional[int] = None):
         from passt_tpu.train.steps import make_schedule
 
-        steps_per_epoch = max(
-            1,
-            (cfg.trainer.limit_train_batches or (cfg.data.epoch_len // cfg.data.batch_size)),
-        )
+        if steps_per_epoch is None:
+            steps_per_epoch = self._steps_per_epoch(cfg)
         return make_schedule(
             cfg.trainer.lr,
             steps_per_epoch,
@@ -232,12 +260,15 @@ class Experiment:
 
     def main(self, cfg: ExperimentConfig) -> Dict:
         """Train (the reference ``main`` command, ex_audioset.py:336-361)."""
-        model, state, train_step, eval_step, _ = self.build(cfg)
+        train_loader = build_train_loader(cfg)
+        steps_per_epoch = self._steps_per_epoch(cfg, train_loader)
+        model, state, train_step, eval_step, _ = self.build(
+            cfg, steps_per_epoch=steps_per_epoch
+        )
         from passt_tpu.utils import count_non_zero_params
 
         desc, total, non_zero = count_non_zero_params(state.params)
         print(f"model: {desc}")  # (reference logs these, ex_audioset.py:121-123)
-        train_loader = build_train_loader(cfg)
         val_loader = None
         try:
             val_loader = build_eval_loader(cfg)
@@ -249,11 +280,12 @@ class Experiment:
             else None
         )
         start_epoch = 0
+        swa_restore = None
         if cfg.trainer.resume and cfg.trainer.checkpoint_dir:
             from passt_tpu.train.loop import restore_checkpoint
 
             try:
-                state, swa_params, last_epoch = restore_checkpoint(
+                state, swa_restore, last_epoch = restore_checkpoint(
                     cfg.trainer.checkpoint_dir, state
                 )
                 start_epoch = last_epoch + 1
@@ -279,7 +311,8 @@ class Experiment:
             keep_last_n=cfg.trainer.keep_last_n,
             single_label=self.single_label,
             masked=cfg.trainer.loss_type == "masked",
-            lr_schedule=self._schedule(cfg),
+            swa_restore=swa_restore,
+            lr_schedule=self._schedule(cfg, steps_per_epoch),
             start_epoch=start_epoch,
             dump_spectrograms=cfg.trainer.dump_spectrograms,
             mel_cfg=cfg.mel,

@@ -98,8 +98,11 @@ def evaluate(
     outs: List[np.ndarray] = []
     targets: List[np.ndarray] = []
     losses: List[float] = []
-    for i, batch in enumerate(loader):
+    it = iter(loader)
+    for i, batch in enumerate(it):
         if limit_batches is not None and i >= limit_batches:
+            if hasattr(it, "stop"):
+                it.stop()  # release the prefetch thread + queued batches
             break
         dev_batch = {
             "wave": jnp.asarray(batch["wave"]),
@@ -163,6 +166,7 @@ def fit(
     keep_last_n: int = 1,
     single_label: bool = False,
     masked: bool = False,
+    swa_restore=None,  # (avg_params, n_averaged) from restore_checkpoint
     start_epoch: int = 0,
     device_put: Callable = jnp.asarray,
     lr_schedule: Optional[Callable] = None,
@@ -171,6 +175,11 @@ def fit(
 ) -> FitResult:
     logger = logger or MetricsLogger()
     swa_state = None
+    if swa_restore is not None and swa_epoch_start is not None:
+        avg_params, n_avg = swa_restore
+        swa_state = swa_init(avg_params, swa_epoch_start, swa_freq).replace(
+            n_averaged=n_avg
+        )
     history: List[Dict[str, float]] = []
 
     ckpt_mgr = None
@@ -183,14 +192,19 @@ def fit(
         )
 
     interrupted = False
+    # host-side global step mirror (avoids a per-batch device sync)
+    host_step = int(state.step)
     for epoch in range(start_epoch, max_epochs):
         t_epoch = time.time()
         n_batches = 0
         pending_loss = None
         try:
             train_loader.set_epoch(epoch)
-            for i, batch in enumerate(train_loader):
+            train_it = iter(train_loader)
+            for i, batch in enumerate(train_it):
                 if limit_train_batches is not None and i >= limit_train_batches:
+                    if hasattr(train_it, "stop"):
+                        train_it.stop()
                     break
                 dev_batch = {
                     "wave": device_put(batch["wave"]),
@@ -200,31 +214,36 @@ def fit(
                 }
                 # Visual sanity dump of the *augmented* training input
                 # (reference wandb spectrogram images, ex_audioset.py:161-167,
-                # gated on global_step like the reference so resume does not
-                # overwrite the true first-steps snapshots).
-                global_step = int(state.step)
+                # gated on the global step like the reference so resume does
+                # not overwrite the true first-steps snapshots). host_step
+                # mirrors state.step without a per-batch device sync.
                 if (
                     dump_spectrograms
-                    and global_step < dump_spectrograms
+                    and host_step < dump_spectrograms
                     and mel_cfg is not None
                     and jax.process_index() == 0
                 ):
                     from passt_tpu.ops.frontend import log_mel_spectrogram
 
                     out_dir = checkpoint_dir or "."
+                    # exact same key derivation as the train step's k_mel
+                    # (steps.py: split(fold_in(rng, step), 5)[0]) so the
+                    # dump shows the actual training augmentation
+                    k_mel = jax.random.split(
+                        jax.random.fold_in(base_rng, host_step), 5
+                    )[0]
                     mel_img = np.asarray(
                         log_mel_spectrogram(
-                            dev_batch["wave"], mel_cfg,
-                            rng=jax.random.fold_in(base_rng, global_step),
-                            train=True,
+                            dev_batch["wave"], mel_cfg, rng=k_mel, train=True
                         )
                     )
                     os.makedirs(out_dir, exist_ok=True)
                     np.save(
-                        os.path.join(out_dir, f"spectrograms_step{global_step}.npy"),
+                        os.path.join(out_dir, f"spectrograms_step{host_step}.npy"),
                         mel_img,
                     )
                 state, metrics = train_step(state, dev_batch, base_rng)
+                host_step += 1
                 n_batches += 1
                 pending_loss = metrics["loss"]
                 if (i + 1) % log_every_steps == 0:
@@ -232,27 +251,18 @@ def fit(
                         {"epoch": epoch, "step": int(state.step), "loss": float(pending_loss)}
                     )
         except KeyboardInterrupt:
-            # Save a checkpoint so the interrupted run resumes cleanly
-            # (the reference has no interrupt handling; PL just dies).
-            print("interrupted: saving checkpoint before exit")
+            # Mid-epoch state is NOT checkpointed: epoch checkpoints are the
+            # resume points (the per-epoch sampler reseed makes mid-epoch
+            # resume ill-defined, and orbax silently refuses saves at an id
+            # <= the latest anyway). The last completed epoch's checkpoint is
+            # already on disk.
             interrupted = True
-
-        if interrupted:
-            if ckpt_mgr is not None:
-                import orbax.checkpoint as ocp
-
-                payload = {
-                    "params": state.params,
-                    "opt_state": state.opt_state,
-                    "step": state.step,
-                }
-                if swa_state is not None:
-                    payload["swa_params"] = swa_state.avg_params
-                    payload["swa_n"] = jnp.int32(swa_state.n_averaged)
-                # saved under the previous completed epoch id (resume
-                # restarts this epoch from its beginning)
-                ckpt_mgr.save(max(epoch - 1, 0), args=ocp.args.StandardSave(payload))
-                ckpt_mgr.wait_until_finished()
+            kept = None if ckpt_mgr is None else ckpt_mgr.latest_step()
+            print(
+                "interrupted: exiting cleanly "
+                + (f"(resume from epoch checkpoint {kept})" if kept is not None
+                   else "(no checkpoint_dir / no completed epoch)")
+            )
             break
 
         epoch_time = time.time() - t_epoch
@@ -309,16 +319,28 @@ def fit(
 
 def restore_checkpoint(checkpoint_dir: str, state: TrainState, step: Optional[int] = None):
     """Restore the latest (or given) epoch checkpoint into a TrainState
-    template. Returns (state, swa_params_or_None, epoch)."""
+    template. Returns (state, swa_or_None, epoch) where swa is
+    (avg_params, n_averaged). Checkpoints written by fit() after SWA starts
+    contain swa_params/swa_n; the template adapts (an exact-match template
+    is required by orbax StandardRestore)."""
     import orbax.checkpoint as ocp
 
     mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
     epoch = step if step is not None else mgr.latest_step()
     if epoch is None:
         raise FileNotFoundError(f"no checkpoints in {checkpoint_dir}")
-    template = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
-    restored = mgr.restore(epoch, args=ocp.args.StandardRestore(template))
+    base = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    with_swa = dict(base)
+    with_swa["swa_params"] = jax.tree.map(lambda x: x, state.params)
+    with_swa["swa_n"] = jnp.int32(0)
+    try:
+        restored = mgr.restore(epoch, args=ocp.args.StandardRestore(with_swa))
+    except (ValueError, KeyError):
+        restored = mgr.restore(epoch, args=ocp.args.StandardRestore(base))
     new_state = TrainState(
         params=restored["params"], opt_state=restored["opt_state"], step=restored["step"]
     )
-    return new_state, restored.get("swa_params"), epoch
+    swa = None
+    if restored.get("swa_params") is not None:
+        swa = (restored["swa_params"], int(restored.get("swa_n", 0)))
+    return new_state, swa, epoch

@@ -158,10 +158,12 @@ def test_fit_interrupt_saves_checkpoint(tmp_path, rng_np):
         checkpoint_dir=ckpt,
         logger=MetricsLogger(quiet=True),
     )
-    # interrupted in epoch 1 after 2 full steps; state has step=2
+    # interrupted mid-epoch-1 after 2 full epoch-0 steps: the run exits
+    # cleanly and the epoch-0 checkpoint (step=2) is the resume point.
     assert int(res.state.step) == 2
     model2, fresh = _setup(rng_np)[2:4]
     restored, _, epoch = restore_checkpoint(ckpt, fresh)
+    assert epoch == 0
     assert int(restored.step) == 2
 
 

@@ -240,3 +240,26 @@ def test_folder_dataset(tmp_path, rng_np):
     assert ds2[1][2][2] == 1.0
     with pytest.raises(FileNotFoundError):
         FolderDataset(str(tmp_path / "empty"))
+
+
+def test_prefetcher_stop_releases_worker():
+    import threading
+    import time as _time
+
+    from passt_tpu.data import Prefetcher
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    it = Prefetcher(gen(), depth=1)
+    assert next(it) == 0
+    it.stop()
+    deadline = _time.time() + 2.0
+    while it.thread.is_alive() and _time.time() < deadline:
+        _time.sleep(0.01)
+    assert not it.thread.is_alive()  # worker exited, not blocked on put
+    assert len(produced) < 100  # and it did not drain the source
