@@ -120,10 +120,16 @@ class Prefetcher:
             except BaseException as e:  # propagate into consumer
                 self.error = e
             finally:
-                try:
-                    self.q.put_nowait(self._DONE)
-                except queue.Full:
-                    pass
+                # The DONE sentinel must reach the consumer even when the
+                # bounded queue is full at error time — a put_nowait here
+                # would silently drop it and deadlock the consumer on
+                # q.get(). Retry with the same bounded loop used for items.
+                while not self._stopped:
+                    try:
+                        self.q.put(self._DONE, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self.thread = threading.Thread(target=worker, daemon=True)
         self.thread.start()
@@ -141,7 +147,17 @@ class Prefetcher:
         return self
 
     def __next__(self):
-        item = self.q.get()
+        while True:
+            try:
+                item = self.q.get(timeout=5.0)
+                break
+            except queue.Empty:
+                if not self.thread.is_alive():
+                    # Worker exited without enqueueing DONE (can only happen
+                    # if it was killed hard) — don't hang the consumer.
+                    if self.error is not None:
+                        raise self.error
+                    raise StopIteration
         if item is self._DONE:
             if self.error is not None:
                 raise self.error

@@ -81,16 +81,23 @@ def test_dp_tp_train_step_executes(rng_np):
     cfg, mcfg, tx, model, state = _tiny()
     mesh = make_mesh(n_data=4, n_model=2)
     params = shard_params(state.params, mesh)
-    opt_state = replicate(state.opt_state, mesh)
+    # AdamW mu/nu mirror the param tree; shard_params matches TP rules on
+    # path suffixes, so the optimizer state shards like its params.
+    opt_state = shard_params(state.opt_state, mesh)
+    mu = opt_state[0].mu
+    assert mu["blocks_0"]["attn"]["qkv"]["kernel"].sharding.spec == P(None, "model")
+    assert mu["cls_token"].sharding.spec == P()
     state = state.replace(params=params, opt_state=opt_state)
     batch = shard_batch(_batch(rng_np), mesh)
     raw = make_train_step(model, tx, mcfg, use_mixup=True, donate=False, jit=False)
     par = make_parallel_train_step(raw, mesh)
     new_state, metrics = par(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
-    # TP layout preserved through the optimizer update.
+    # TP layout preserved through the optimizer update (params and mu).
     qkv = new_state.params["blocks_0"]["attn"]["qkv"]["kernel"]
     assert qkv.sharding.spec == P(None, "model")
+    new_mu = new_state.opt_state[0].mu
+    assert new_mu["blocks_0"]["attn"]["qkv"]["kernel"].sharding.spec == P(None, "model")
     # Second step runs (donation-free path) and changes the loss.
     new_state2, metrics2 = par(new_state, batch, jax.random.PRNGKey(1))
     assert float(metrics2["loss"]) != float(metrics["loss"])
