@@ -197,12 +197,12 @@ PRESETS: Dict[str, Dict[str, str]] = {
     # checkpoints, passt.py:219-226: 10 s -> tdim 3200 / 2000)
     "stfthop100": {
         "mel.hopsize": "100",
-        "model.arch": "passt_s_swa_p16_128_ap476",
+        "model.arch": "passt_s_swa_f128_stfthop100_p16_s10_ap473",
         "model.input_tdim": "3200",
     },
     "stfthop160": {
         "mel.hopsize": "160",
-        "model.arch": "passt_s_swa_p16_128_ap476",
+        "model.arch": "passt_s_swa_f128_stfthop160_p16_s10_ap473",
         "model.input_tdim": "2000",
     },
     # FSD50K variable-length eval (reference ex_fsd50k.py variable_eval

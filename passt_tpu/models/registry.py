@@ -106,6 +106,14 @@ ARCHS: Dict[str, ArchSpec] = {
     "passt_s_p16_s12_128_ap470": ArchSpec(expected_stride=(12, 12), pretrained_name="passt_s_p16_s12_128_ap470"),
     "passt_s_f128_20sec_p16_s10_ap474": ArchSpec(pretrained_name="passt-s-f128-20sec-p16-s10-ap474-swa", input_tdim=2000),
     "passt_s_f128_30sec_p16_s10_ap473": ArchSpec(pretrained_name="passt-s-f128-30sec-p16-s10-ap473-swa", input_tdim=3000),
+    # high-temporal-resolution STFT checkpoints (reference passt.py:219-226:
+    # hop 100 -> 10 s = 3200 frames, hop 160 -> 2000 frames)
+    "passt_s_swa_f128_stfthop100_p16_s10_ap473": ArchSpec(
+        pretrained_name="passt_s_swa_f128_stfthop100_p16_s10_ap473", input_tdim=3200
+    ),
+    "passt_s_swa_f128_stfthop160_p16_s10_ap473": ArchSpec(
+        pretrained_name="passt_s_swa_f128_stfthop160_p16_s10_ap473", input_tdim=2000
+    ),
 }
 
 

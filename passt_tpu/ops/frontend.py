@@ -21,11 +21,13 @@ Differences by design (TPU-first, not quirk-for-quirk):
   argument resolved at trace time, so there are exactly two compiled graphs.
 - The mel bank is built *in-graph* from traced (fmin, fmax) scalars — the
   reference rebuilds a torch tensor on the host every step.
-- SpecAugment masks are i.i.d. per example by default (``iid_masks=True``).
-  The reference feeds 3-D batches through torchaudio's masking transforms,
-  which silently applies one shared mask to the whole batch; per-sample masks
-  are the documented intent of ``iid_masks=True`` and strictly stronger
-  augmentation. Set ``iid_masks=False`` for the shared-mask behavior.
+- SpecAugment masks are shared per batch by default (``iid_masks=False``):
+  the reference feeds 3-D batches through torchaudio's masking transforms,
+  which applies one mask to the whole batch despite requesting
+  ``iid_masks=True`` (preprocess.py:50-54 — iid needs 4-D input). The
+  default is parity-faithful to that observed behavior; set
+  ``iid_masks=True`` for per-sample masks (the documented intent, strictly
+  stronger augmentation).
 """
 
 from __future__ import annotations
@@ -61,7 +63,7 @@ class MelConfig:
     fmax: Optional[float] = None  # None -> sr//2 - fmax_aug_range//2 (preprocess.py:32-34)
     fmin_aug_range: int = 1
     fmax_aug_range: int = 1000
-    iid_masks: bool = True
+    iid_masks: bool = False
     stft_method: str = "auto"  # "auto" (pallas on TPU, matmul elsewhere),
     # "pallas", "matmul", "conv", or "fft"
 

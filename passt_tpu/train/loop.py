@@ -279,11 +279,13 @@ def fit(
             # ex_audioset.py:305; trainer/lr at :195)
             record["lr"] = float(lr_schedule(int(state.step)))
 
-        # SWA (helpers/swa_callback.py semantics; averaged on epoch end).
+        # SWA (helpers/swa_callback.py semantics: the reference fires on
+        # train-epoch START with swa_start = swa_epoch_start - 1; end of
+        # epoch e here == start of epoch e+1 there, so cadence is exact).
         if swa_epoch_start is not None:
             if swa_state is None:
                 swa_state = swa_init(state.params, swa_epoch_start, swa_freq)
-            if swa_should_update(swa_state, epoch):
+            if swa_should_update(swa_state, epoch, max_epochs):
                 swa_state = swa_update(swa_state, state.params)
                 record["swa_n"] = swa_state.n_averaged
 

@@ -119,7 +119,9 @@ def cosine_cycle(cycle_len: int = 20, ramp_down_start: int = 100, last_lr_value:
     ramp_down_start = cycle_len + (ramp_down_start - 1) // cycle_len * cycle_len
 
     def f(epoch):
-        ep = (epoch + cycle_len / 2.0) / (1.0 * cycle_len)
+        # the reference uses floor division cycle_len//2. (ramp.py:117) —
+        # differs from cycle_len/2 for odd cycle_len (half-epoch phase shift)
+        ep = (epoch + float(cycle_len // 2)) / (1.0 * cycle_len)
         if epoch > ramp_down_start:
             return last_lr_value
         return float(last_lr_value + (1.0 - last_lr_value) * 0.5 * (math.cos(2.0 * math.pi * ep) + 1.0))

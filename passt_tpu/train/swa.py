@@ -40,12 +40,24 @@ def swa_init(params, swa_epoch_start: int = 50, swa_freq: int = 5) -> SWAState:
     )
 
 
-def swa_should_update(state: SWAState, epoch: int) -> bool:
-    """True on epochs where the reference callback averages
-    (swa_callback.py:194-213: epochs >= start, every ``freq`` epochs)."""
-    if epoch < state.swa_epoch_start:
+def swa_should_update(
+    state: SWAState, epoch: int, max_epochs: Optional[int] = None
+) -> bool:
+    """True at END of 0-based ``epoch`` exactly when the reference callback
+    averages at START of epoch ``epoch + 1`` (identical params: end of
+    epoch e == start of epoch e+1).
+
+    Reference semantics (swa_callback.py:128,131,194): ``swa_start =
+    swa_epoch_start - 1`` (0-based), updates fire on train-epoch start
+    while ``swa_start <= t <= max_epochs - 1``, every ``swa_freq`` epochs.
+    The last trained epoch's params therefore never enter the average."""
+    t = epoch + 1
+    start = max(state.swa_epoch_start - 1, 0)
+    if t < start:
         return False
-    return (epoch - state.swa_epoch_start) % state.swa_freq == 0
+    if max_epochs is not None and t > max_epochs - 1:
+        return False
+    return (t - start) % state.swa_freq == 0
 
 
 def swa_update(state: SWAState, params) -> SWAState:
@@ -64,8 +76,10 @@ def swa_update(state: SWAState, params) -> SWAState:
     return state.replace(avg_params=new_avg, n_averaged=n + 1)
 
 
-def swa_step(state: SWAState, params, epoch: int) -> SWAState:
+def swa_step(
+    state: SWAState, params, epoch: int, max_epochs: Optional[int] = None
+) -> SWAState:
     """Convenience: update iff this epoch fires."""
-    if swa_should_update(state, epoch):
+    if swa_should_update(state, epoch, max_epochs):
         return swa_update(state, params)
     return state

@@ -60,10 +60,14 @@ def test_exp_warmup_linear_down_matches_reference():
     theirs = ref.exp_warmup_linear_down(5, 50, 50, 0.01)
     for e in range(130):
         assert abs(ours(e) - theirs(e)) < 1e-12, e
-    ours_c = cosine_cycle(20, 100, 0.01)
-    theirs_c = ref.cosine_cycle(20, 100, 0.01)
-    for e in range(250):
-        assert abs(ours_c(e) - theirs_c(e)) < 1e-12, e
+    # even and odd cycle_len: the reference uses floor division cycle_len//2.
+    # (ramp.py:117) which differs from /2 for odd lengths — schedule_mode
+    # cos_cyc passes warm_up_len (default 5, odd) as cycle_len.
+    for cl in (20, 5, 7):
+        ours_c = cosine_cycle(cl, 100, 0.01)
+        theirs_c = ref.cosine_cycle(cl, 100, 0.01)
+        for e in range(250):
+            assert abs(ours_c(e) - theirs_c(e)) < 1e-12, (cl, e)
 
 
 def test_lr_schedule_step_table():
@@ -137,8 +141,34 @@ def test_masked_bce_uses_mask():
 def test_swa_running_average():
     p1 = {"w": jnp.asarray(2.0)}
     s = swa_init(p1, swa_epoch_start=2, swa_freq=2)
-    assert not swa_should_update(s, 0) and not swa_should_update(s, 1)
+    # Reference cadence (swa_callback.py:128,194): swa_start = 2-1 = 1
+    # (0-based), fires at START of epochs 1,3,5,... == END of epochs 0,2,4.
+    assert swa_should_update(s, 0) and not swa_should_update(s, 1)
     assert swa_should_update(s, 2) and not swa_should_update(s, 3) and swa_should_update(s, 4)
+    # swa_end cap (swa_callback.py:131): no update fires past epoch start
+    # max_epochs-1, i.e. the final epoch's params never enter the average.
+    assert not swa_should_update(s, 4, max_epochs=5)
+    assert swa_should_update(s, 2, max_epochs=5)
+
+
+def test_swa_cadence_matches_reference_callback():
+    """Oracle the firing epochs against the reference condition evaluated
+    verbatim: on_train_epoch_start fires when swa_start <= t <= swa_end and
+    (t - swa_start) % swa_freq == 0 (swa_callback.py:194), with
+    swa_start = swa_epoch_start - 1, swa_end = max_epochs - 1 (0-based).
+    End of our epoch e == start of reference epoch t = e + 1."""
+    for start, freq, max_epochs in [(50, 5, 130), (2, 1, 25), (10, 3, 100), (1, 1, 6)]:
+        s = swa_init({"w": jnp.asarray(0.0)}, swa_epoch_start=start, swa_freq=freq)
+        swa_start = max(start - 1, 0)
+        swa_end = max_epochs - 1
+        ref_fires = {
+            t for t in range(1, max_epochs)  # t=0 = averaging the untrained
+            # init params, unreachable from an end-of-epoch hook (only occurs
+            # for swa_epoch_start=1, used by no recipe)
+            if swa_start <= t <= swa_end and (t - swa_start) % freq == 0
+        }
+        ours = {e + 1 for e in range(max_epochs) if swa_should_update(s, e, max_epochs)}
+        assert ours == ref_fires, (start, freq, ours ^ ref_fires)
     s = swa_update(s, {"w": jnp.asarray(2.0)})
     s = swa_update(s, {"w": jnp.asarray(4.0)})
     s = swa_update(s, {"w": jnp.asarray(6.0)})
