@@ -115,7 +115,11 @@ def _resolve_rank(d):
     return d.num_replicas, d.rank
 
 
-def build_train_loader(cfg: ExperimentConfig, dataset=None):
+def build_train_loader(cfg: ExperimentConfig, dataset=None, batch_scale: int = 1):
+    """``batch_scale`` multiplies the per-replica ``data.batch_size`` into a
+    global batch when training on a mesh (reference batch_size is per-GPU
+    under DDP, ex_audioset.py:42 + :499-524; here one loader feeds all
+    devices of this process)."""
     d = cfg.data
     ds = dataset if dataset is not None else build_train_dataset(cfg)
     if d.weighted_sampler:
@@ -141,7 +145,9 @@ def build_train_loader(cfg: ExperimentConfig, dataset=None):
     else:
         num_replicas, rank = _resolve_rank(d)
         sampler = ShuffleSampler(len(ds), num_replicas, rank, seed=d.seed)
-    return DataLoader(ds, d.batch_size, sampler, drop_last=True, prefetch=d.prefetch)
+    return DataLoader(
+        ds, d.batch_size * batch_scale, sampler, drop_last=True, prefetch=d.prefetch
+    )
 
 
 def build_eval_loader(cfg: ExperimentConfig, which: Optional[str] = None, batch_size=None):
@@ -202,8 +208,14 @@ class Experiment:
         cfg: ExperimentConfig,
         rng: Optional[jax.Array] = None,
         steps_per_epoch: Optional[int] = None,
+        runtime=None,
     ):
-        """(model, state, train_step, eval_step, tx) from a config."""
+        """(model, state, train_step, eval_step, tx) from a config.
+
+        When ``runtime`` (a MeshRuntime from ``trainer.n_data``/``n_model``)
+        is given, the state is sharded over the mesh and the train step is
+        the GSPMD-parallel one — the TPU-native equivalent of the
+        reference's one-env-var DDP activation (ex_audioset.py:499-524)."""
         pcfg = cfg.passt_config()
         if steps_per_epoch is None:
             steps_per_epoch = self._steps_per_epoch(cfg)
@@ -236,7 +248,11 @@ class Experiment:
             loss_type=cfg.trainer.loss_type,
             use_mixup=cfg.trainer.use_mixup,
             mixup_alpha=cfg.trainer.mixup_alpha,
+            jit=runtime is None,
         )
+        if runtime is not None:
+            state = runtime.shard_state(state)
+            train_step = runtime.wrap_train_step(train_step)
         eval_step = make_eval_step(model, cfg.mel, loss_type=cfg.trainer.loss_type)
         return model, state, train_step, eval_step, tx
 
@@ -259,11 +275,23 @@ class Experiment:
         )
 
     def main(self, cfg: ExperimentConfig) -> Dict:
-        """Train (the reference ``main`` command, ex_audioset.py:336-361)."""
-        train_loader = build_train_loader(cfg)
+        """Train (the reference ``main`` command, ex_audioset.py:336-361).
+        ``trainer.n_data=N`` trains on an N-device mesh (the reference's
+        ``DDP=N``); ``trainer.n_model=M`` adds tensor parallelism."""
+        from passt_tpu.parallel.runtime import maybe_mesh_runtime
+
+        runtime = maybe_mesh_runtime(cfg.trainer)
+        if runtime is not None:
+            print(
+                f"mesh: data={runtime.n_data} model={runtime.n_model} "
+                f"(global batch {cfg.data.batch_size * runtime.n_data})"
+            )
+        train_loader = build_train_loader(
+            cfg, batch_scale=runtime.n_data if runtime else 1
+        )
         steps_per_epoch = self._steps_per_epoch(cfg, train_loader)
         model, state, train_step, eval_step, _ = self.build(
-            cfg, steps_per_epoch=steps_per_epoch
+            cfg, steps_per_epoch=steps_per_epoch, runtime=runtime
         )
         from passt_tpu.utils import count_non_zero_params
 
@@ -316,13 +344,18 @@ class Experiment:
             start_epoch=start_epoch,
             dump_spectrograms=cfg.trainer.dump_spectrograms,
             mel_cfg=cfg.mel,
+            runtime=runtime,
         )
         return {"done": True, "history": result.history}
 
     def evaluate_only(self, cfg: ExperimentConfig) -> Dict:
         """Evaluate a (pretrained) model (ex_audioset.py:430-441) — the
-        de-facto mAP-parity regression harness."""
-        model, state, _, eval_step, _ = self.build(cfg)
+        de-facto mAP-parity regression harness. Honors trainer.n_data /
+        n_model (eval batches sharded over the mesh)."""
+        from passt_tpu.parallel.runtime import maybe_mesh_runtime
+
+        runtime = maybe_mesh_runtime(cfg.trainer)
+        model, state, _, eval_step, _ = self.build(cfg, runtime=runtime)
         val_loader = build_eval_loader(cfg)
         metrics = evaluate(
             eval_step,
@@ -331,6 +364,7 @@ class Experiment:
             cfg.trainer.limit_eval_batches,
             self.single_label,
             cfg.trainer.loss_type == "masked",
+            runtime=runtime,
         )
         print({"validation": metrics})
         return metrics
@@ -392,20 +426,27 @@ class Experiment:
     ) -> Dict:
         """Training-throughput harness (ex_audioset.py:365-426): timed
         fwd+loss+bwd+opt iterations on synthetic data, printed as
-        specs/second. Iterates inside one compiled loop (axon-tunnel-safe)."""
-        model, state, train_step_jit, _, tx = self.build(cfg)
+        specs/second. Iterates inside one compiled loop (axon-tunnel-safe).
+        With trainer.n_data/n_model set, runs on the mesh and reports
+        aggregate specs/s (batch = speed_test_batch_size x n_data)."""
+        from passt_tpu.parallel.runtime import maybe_mesh_runtime
+
+        runtime = maybe_mesh_runtime(cfg.trainer)
+        model, state, train_step_jit, _, tx = self.build(cfg, runtime=runtime)
         raw_step = make_train_step(
             model, tx, cfg.mel, loss_type=cfg.trainer.loss_type,
             use_mixup=cfg.trainer.use_mixup, mixup_alpha=cfg.trainer.mixup_alpha,
             jit=False,
         )
-        b = speed_test_batch_size
+        b = speed_test_batch_size * (runtime.n_data if runtime else 1)
         x = jnp.ones((b, 1, cfg.model.input_fdim, cfg.model.input_tdim), jnp.float32)
         n_out = cfg.model.n_classes * (2 if cfg.trainer.loss_type == "masked" else 1)
         if self.single_label:
             y = jnp.zeros((b,), jnp.int32)
         else:
             y = jnp.ones((b, n_out), jnp.float32)
+        if runtime is not None:
+            x, y = runtime.device_put(x), runtime.device_put(y)
         rng = jax.random.PRNGKey(0)
 
         # x/y MUST be jit arguments: arrays captured as graph constants run

@@ -91,32 +91,44 @@ def evaluate(
     limit_batches: Optional[int] = None,
     single_label: bool = False,
     masked: bool = False,
+    runtime=None,
 ) -> Dict[str, float]:
     """Run the eval loader, compute loss + AP/ROC (multilabel) or accuracy
     (single-label) on host — reference validation_epoch_end
-    (ex_audioset.py:245-291; esc50 accuracy variant ex_esc50.py)."""
+    (ex_audioset.py:245-291; esc50 accuracy variant ex_esc50.py).
+
+    ``runtime`` (a :class:`passt_tpu.parallel.runtime.MeshRuntime`) shards
+    each batch over the mesh's data axis, padding ragged tails and trimming
+    the padded rows back off the outputs. val_loss is the mean of
+    per-example losses, so tail batches are weighted correctly."""
     outs: List[np.ndarray] = []
     targets: List[np.ndarray] = []
-    losses: List[float] = []
+    losses: List[np.ndarray] = []
     it = iter(loader)
     for i, batch in enumerate(it):
         if limit_batches is not None and i >= limit_batches:
             if hasattr(it, "stop"):
                 it.stop()  # release the prefetch thread + queued batches
             break
-        dev_batch = {
-            "wave": jnp.asarray(batch["wave"]),
-            "target": jnp.asarray(
-                batch["target"].astype(np.int32 if single_label else np.float32)
-            ),
+        arrays = {
+            "wave": np.asarray(batch["wave"]),
+            "target": batch["target"].astype(np.int32 if single_label else np.float32),
         }
+        if runtime is not None:
+            dev_batch, n = runtime.pad_eval_batch(arrays)
+        else:
+            dev_batch = {k: jnp.asarray(v) for k, v in arrays.items()}
+            n = len(arrays["wave"])
         res = eval_step(params, dev_batch)
-        outs.append(np.asarray(res["out"]))
+        outs.append(np.asarray(res["out"])[:n])
         targets.append(np.asarray(batch["target"]))
-        losses.append(float(res["loss"]))
+        losses.append(np.asarray(res["loss_per_example"])[:n])
     out = np.concatenate(outs)
     target = np.concatenate(targets)
-    metrics: Dict[str, float] = {"val_loss": float(np.mean(losses)), "n_eval": len(out)}
+    metrics: Dict[str, float] = {
+        "val_loss": float(np.mean(np.concatenate(losses))),
+        "n_eval": len(out),
+    }
     if single_label:
         metrics["accuracy"] = float((out.argmax(axis=1) == target.reshape(-1)).mean())
     elif masked:
@@ -172,8 +184,11 @@ def fit(
     lr_schedule: Optional[Callable] = None,
     dump_spectrograms: int = 0,
     mel_cfg=None,
+    runtime=None,
 ) -> FitResult:
     logger = logger or MetricsLogger()
+    if runtime is not None and device_put is jnp.asarray:
+        device_put = runtime.device_put
     swa_state = None
     if swa_restore is not None and swa_epoch_start is not None:
         avg_params, n_avg = swa_restore
@@ -291,13 +306,14 @@ def fit(
 
         if val_loader is not None and (epoch + 1) % eval_every == 0:
             em = evaluate(
-                eval_step, state.params, val_loader, limit_eval_batches, single_label, masked
+                eval_step, state.params, val_loader, limit_eval_batches,
+                single_label, masked, runtime=runtime,
             )
             record.update(em)
             if swa_state is not None and swa_state.n_averaged > 0:
                 sm = evaluate(
                     eval_step, swa_state.avg_params, val_loader, limit_eval_batches,
-                    single_label, masked,
+                    single_label, masked, runtime=runtime,
                 )
                 record.update({f"swa_{k}": v for k, v in sm.items()})
 

@@ -176,15 +176,26 @@ def make_eval_step(
             x = mel[:, None, :, :tdim]
         logits, features = model.apply({"params": params}, x, train=False)
         y = batch["target"]
+        # per-example loss [B]: lets callers trim mesh-padding rows and
+        # weight ragged tail batches correctly; its mean equals the
+        # reference's batch loss for every loss type.
         if loss_type == "single_label":
-            loss = L.softmax_ce(logits, y).mean()
+            loss_pe = L.softmax_ce(logits, y)
             out = jax.nn.log_softmax(logits, axis=-1)
         elif loss_type == "masked":
-            loss = L.masked_bce_loss(logits, y)
+            k = y.shape[1] // 2
+            mask = y[:, k:]
+            yb = (y[:, :k] > 0.5).astype(logits.dtype)
+            loss_pe = (mask * L.bce_with_logits(logits, yb)).mean(axis=1)
             out = jax.nn.sigmoid(logits)
         else:
-            loss = L.bce_with_logits(logits, y).mean()
+            loss_pe = L.bce_with_logits(logits, y).mean(axis=1)
             out = jax.nn.sigmoid(logits)
-        return {"out": out, "loss": loss, "features": features}
+        return {
+            "out": out,
+            "loss": loss_pe.mean(),
+            "loss_per_example": loss_pe,
+            "features": features,
+        }
 
     return jax.jit(step_fn)

@@ -146,6 +146,48 @@ def test_experiment_mini_train(name, tmp_path, rng_np, monkeypatch):
     assert f"swa_{key}" in hist[-1]  # SWA evaluated alongside
 
 
+def test_experiment_mini_train_on_mesh(tmp_path, rng_np, monkeypatch):
+    """The reference's one-flag DDP activation (DDP=N env,
+    ex_audioset.py:499-524), here `trainer.n_data=4 trainer.n_model=2`:
+    trains the AudioSet recipe on the 8-device CPU mesh end-to-end,
+    checkpoints, and resumes — including ragged eval batches (padded to the
+    mesh then trimmed)."""
+    exp = EXPERIMENTS["audioset"]
+    path = _make_synth(tmp_path, rng_np, classes=527)
+    cfg = _shrink(exp.default_config, path, 527)
+    cfg = apply_overrides(
+        cfg,
+        {
+            "trainer.n_data": "4",
+            "trainer.n_model": "2",
+            "data.batch_size": "2",  # per-replica: global batch 8
+            "data.epoch_len": "32",
+            "data.eval_batch_size": "3",  # 3 % n_data != 0 -> pad+trim path
+            "trainer.checkpoint_dir": str(tmp_path / "ckpt"),
+        },
+    )
+    import passt_tpu.models.registry as registry
+
+    spec = registry.ARCHS[cfg.model.arch]
+    monkeypatch.setitem(
+        registry.ARCHS,
+        cfg.model.arch,
+        dataclasses.replace(spec, depth=2, embed_dim=64, num_heads=4),
+    )
+    result = exp.main(cfg)
+    hist = result["history"]
+    assert len(hist) == 2 and np.isfinite(hist[-1]["train_loss"])
+    assert hist[-1]["n_eval"] == 6  # 2 eval batches of 3, pad rows trimmed
+    assert "ap" in hist[-1]
+
+    # resume on the mesh for one more epoch
+    cfg2 = apply_overrides(cfg, {"trainer.resume": "true", "trainer.max_epochs": "3"})
+    result2 = exp.main(cfg2)
+    hist2 = result2["history"]
+    assert len(hist2) == 1 and hist2[0]["epoch"] == 2
+    assert np.isfinite(hist2[0]["train_loss"])
+
+
 def test_test_loaders_and_print_config(tmp_path, rng_np, capsys):
     exp = EXPERIMENTS["audioset"]
     path = _make_synth(tmp_path, rng_np, classes=527)
