@@ -70,6 +70,11 @@ class DataConfig:
     rank: int = 0
     seed: int = 42
     prefetch: int = 2
+    num_workers: int = 8  # parallel per-item read threads (the reference
+    # runs 16 decode worker processes per GPU, ex_audioset.py:42-48)
+    native_loader: bool = True  # fused C++ batch assembly when
+    # libhostplane.so is built and the container/augmentation chain is
+    # eligible (int16 PCM, fixed clip length); falls back to numpy
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,11 +25,40 @@ external decoder.
 from __future__ import annotations
 
 import io
+import threading
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 Item = Tuple[np.ndarray, str, np.ndarray]  # (waveform [T], name, target)
+
+
+def item_rng(seed: int, index: int) -> np.random.Generator:
+    """Per-(seed, index) RNG: augmentation randomness is a pure function of
+    the epoch seed and the item index, so parallel loader workers are both
+    thread-safe and bit-reproducible regardless of read order (the
+    reference gets approximate decorrelation from per-worker reseeding,
+    helpers/workersinit.py:6-12; this is strictly stronger)."""
+    return np.random.default_rng((seed, index))
+
+
+def epoch_seed(base_seed: int, epoch: int) -> int:
+    """Fold an epoch into a base seed (distinct augmentation every epoch,
+    reproducible on resume)."""
+    return base_seed + 1_000_003 * (epoch + 1)
+
+
+def set_epoch_recursive(ds, epoch: int) -> None:
+    """Walk a dataset chain calling ``set_epoch`` wherever defined (the
+    reference reloads its DataLoaders every epoch for the same effect,
+    ex_audioset.py:75)."""
+    if hasattr(ds, "set_epoch"):
+        ds.set_epoch(epoch)
+    child = getattr(ds, "dataset", None)
+    if child is not None:
+        set_epoch_recursive(child, epoch)
+    for c in getattr(ds, "datasets", ()) or ():
+        set_epoch_recursive(c, epoch)
 
 
 # ---------------------------------------------------------------------------
@@ -190,27 +219,63 @@ class HDF5AudioDataset(AudioDataset):
                 else:
                     raise ValueError(f"no known audio column in {hdf5_file}")
         self.audio_column = audio_column
-        self.file = None  # lazy per-process open (fork safety)
+        self._local = threading.local()  # one handle per thread AND process:
+        # h5py serializes concurrent access on a single handle, so parallel
+        # loader workers each get their own read-only File (fork-safe too)
         self.sample_rate = sample_rate
         self.classes_num = classes_num
         self.clip_samples = None if clip_length is None else int(clip_length * sample_rate)
         self.packed_targets = packed_targets
         self.gain_augment_db = gain_augment_db
         self.crop = crop
-        self.rng = np.random.default_rng(seed)
+        self._base_seed = seed
+        self._seed = seed
 
     def reseed(self, seed: int) -> None:
-        """Per-worker/per-epoch reseed (reference worker_init_fn,
-        helpers/workersinit.py:6-12)."""
-        self.rng = np.random.default_rng(seed)
+        """Explicit reseed (reference worker_init_fn,
+        helpers/workersinit.py:6-12); item i's augmentation is a pure
+        function of (seed, i)."""
+        self._seed = seed
+
+    def set_epoch(self, epoch: int) -> None:
+        self._seed = epoch_seed(self._base_seed, epoch)
 
     def __len__(self) -> int:
         return self.length
 
     def _open(self):
-        if self.file is None:
-            self.file = self._h5py.File(self.hdf5_path, "r")
-        return self.file
+        f = getattr(self._local, "file", None)
+        if f is None:
+            f = self._h5py.File(self.hdf5_path, "r")
+            self._local.file = f
+        return f
+
+    def raw_item(self, index: int):
+        """(raw audio buffer, name, raw target row) without decode or
+        augmentation — the feed for the native C++ batch assembler."""
+        f = self._open()
+        name = f["audio_name"][index]
+        name = name.decode() if isinstance(name, bytes) else str(name)
+        return f[self.audio_column][index], name, f["target"][index]
+
+    def raw_batch(self, idxs):
+        """(buffers, names, target rows) for a batch in ONE fancy-indexed
+        HDF5 read per column — per-item h5py dataset.__getitem__ overhead
+        (~0.3 ms/call) dominates raw-PCM loading otherwise. h5py fancy
+        selection requires increasing unique indices; duplicates/order are
+        restored by the inverse permutation."""
+        f = self._open()
+        idxs = np.asarray(idxs, dtype=np.int64)
+        uniq, inverse = np.unique(idxs, return_inverse=True)
+        sel = uniq.tolist()
+        bufs = f[self.audio_column][sel]
+        names = f["audio_name"][sel]
+        targets = f["target"][sel]
+        out_names = []
+        for i in inverse:
+            n = names[i]
+            out_names.append(n.decode() if isinstance(n, bytes) else str(n))
+        return [bufs[i] for i in inverse], out_names, targets[inverse]
 
     def __getitem__(self, index: int) -> Item:
         f = self._open()
@@ -223,11 +288,12 @@ class HDF5AudioDataset(AudioDataset):
                 "use passt_tpu.data.register_decoder"
             )
         waveform = decoder(f[self.audio_column][index]).astype(np.float32)
+        rng = item_rng(self._seed, index)
         if self.gain_augment_db:
-            waveform = gain_augment(waveform, self.gain_augment_db, self.rng)
+            waveform = gain_augment(waveform, self.gain_augment_db, rng)
         if self.clip_samples is not None:
             if self.crop == "random":
-                waveform = random_crop(waveform, self.clip_samples, self.rng)
+                waveform = random_crop(waveform, self.clip_samples, rng)
             else:
                 waveform = pad_or_truncate(waveform, self.clip_samples)
         waveform = stride_resample(waveform, self.sample_rate)
@@ -303,17 +369,51 @@ class ConcatDataset(AudioDataset):
 
 class MapDataset(AudioDataset):
     """Apply fn(item) -> item (reference PreprocessDataset,
-    helpers/audiodatasets.py)."""
+    helpers/audiodatasets.py). ``with_index=True`` calls fn(item, index)
+    so stateless per-item randomness can derive from the index."""
 
-    def __init__(self, dataset: AudioDataset, fn: Callable[[Item], Item]):
+    def __init__(
+        self,
+        dataset: AudioDataset,
+        fn: Callable,
+        with_index: bool = False,
+    ):
         self.dataset = dataset
         self.fn = fn
+        self.with_index = with_index
 
     def __len__(self):
         return len(self.dataset)
 
     def __getitem__(self, index):
+        if self.with_index:
+            return self.fn(self.dataset[index], index)
         return self.fn(self.dataset[index])
+
+
+class RollDataset(AudioDataset):
+    """Random circular roll wrapper (reference get_roll_func applied via
+    PreprocessDataset, audioset/dataset.py:315-329, 355-359); per-item
+    deterministic in (seed, epoch, index)."""
+
+    def __init__(self, dataset: AudioDataset, shift_range: int = 50, seed: int = 0):
+        self.dataset = dataset
+        self.shift_range = shift_range
+        self._base_seed = seed
+        self._seed = seed
+
+    def reseed(self, seed: int) -> None:
+        self._seed = seed
+
+    def set_epoch(self, epoch: int) -> None:
+        self._seed = epoch_seed(self._base_seed, epoch)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index):
+        x, f, y = self.dataset[index]
+        return roll_augment(x, self.shift_range, item_rng(self._seed, index)), f, y
 
 
 class CachedDataset(AudioDataset):
@@ -366,21 +466,34 @@ class WavMixDataset(AudioDataset):
         self.beta = beta
         self.rate = rate
         self.merge_masks = merge_masks
-        self.rng = np.random.default_rng(seed)
+        self._base_seed = seed
+        self._seed = seed
 
     def reseed(self, seed: int) -> None:
-        self.rng = np.random.default_rng(seed)
+        self._seed = seed
+
+    def set_epoch(self, epoch: int) -> None:
+        self._seed = epoch_seed(self._base_seed, epoch)
 
     def __len__(self):
         return len(self.dataset)
 
+    def mix_plan(self, index: int):
+        """(apply, partner index, lambda) for item ``index`` — a pure
+        function of (seed, index) so parallel workers and the native batch
+        path draw the identical mix (see item_rng)."""
+        rng = item_rng(self._seed ^ 0x5BF03635, index)
+        if rng.random() >= self.rate:
+            return False, index, np.float32(1.0)
+        idx2 = int(rng.integers(0, len(self.dataset)))
+        lam = rng.beta(self.beta, self.beta)
+        return True, idx2, np.float32(max(lam, 1.0 - lam))
+
     def __getitem__(self, index):
-        if self.rng.random() < self.rate:
+        apply_mix, idx2, lam = self.mix_plan(index)
+        if apply_mix:
             x1, f1, y1 = self.dataset[index]
-            idx2 = int(self.rng.integers(0, len(self.dataset)))
             x2, _, y2 = self.dataset[idx2]
-            lam = self.rng.beta(self.beta, self.beta)
-            lam = np.float32(max(lam, 1.0 - lam))
             x1 = x1 - x1.mean()
             x2 = x2 - x2.mean()
             n = min(len(x1), len(x2))

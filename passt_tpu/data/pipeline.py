@@ -10,8 +10,10 @@ collator backend; see native/.)
 
 from __future__ import annotations
 
+import atexit
 import queue
 import threading
+import weakref
 from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
@@ -45,9 +47,22 @@ def default_collate(items, pad_to_multiple: int = 0) -> Dict[str, np.ndarray]:
 class DataLoader:
     """Sampler-driven batch iterator.
 
-    ``set_epoch`` must be called per epoch to reseed epoch-dependent
-    samplers (the reference sets ``reload_dataloaders_every_epoch=True``
-    for exactly this purpose, ex_audioset.py:75).
+    ``set_epoch`` must be called per epoch: it reseeds epoch-dependent
+    samplers AND the augmentation seeds down the dataset chain (the
+    reference sets ``reload_dataloaders_every_epoch=True`` for exactly
+    this purpose, ex_audioset.py:75).
+
+    ``num_workers`` threads parallelize the per-item dataset reads inside
+    each batch (the reference runs 16 decode worker *processes* per GPU,
+    ex_audioset.py:42-48; here HDF5/decode releases the GIL and each worker
+    thread holds its own HDF5 handle, so threads suffice and share memory
+    with zero serialization cost). Item augmentation is a pure function of
+    (epoch seed, index), so worker count and scheduling never change the
+    produced batches.
+
+    ``batch_builder`` (optional) replaces per-item reads + collate with a
+    fused ``fn(indices) -> batch dict`` — the hook for the native C++
+    batch assembler (passt_tpu.data.native_loader).
     """
 
     def __init__(
@@ -58,6 +73,8 @@ class DataLoader:
         collate: Callable = default_collate,
         drop_last: bool = False,
         prefetch: int = 2,
+        num_workers: int = 0,
+        batch_builder: Optional[Callable] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -65,30 +82,68 @@ class DataLoader:
         self.collate = collate
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self.batch_builder = batch_builder
+        self._pool = None
 
     def set_epoch(self, epoch: int) -> None:
         if hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
+        from passt_tpu.data.datasets import set_epoch_recursive
+
+        set_epoch_recursive(self.dataset, epoch)
+        if self.batch_builder is not None and hasattr(self.batch_builder, "set_epoch"):
+            self.batch_builder.set_epoch(epoch)
 
     def __len__(self) -> int:
         n = len(self.sampler)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _read_items(self, idxs):
+        if self.num_workers > 0:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.num_workers, thread_name_prefix="loader"
+                )
+            return list(self._pool.map(self.dataset.__getitem__, idxs))
+        return [self.dataset[i] for i in idxs]
+
     def _iter_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         buf = []
         for idx in self.sampler:
-            buf.append(self.dataset[idx])
+            buf.append(idx)
             if len(buf) == self.batch_size:
-                yield self.collate(buf)
+                yield self._build(buf)
                 buf = []
         if buf and not self.drop_last:
-            yield self.collate(buf)
+            yield self._build(buf)
+
+    def _build(self, idxs):
+        if self.batch_builder is not None:
+            return self.batch_builder(idxs)
+        return self.collate(self._read_items(idxs))
 
     def __iter__(self):
         it = self._iter_batches()
         if self.prefetch > 0:
             return Prefetcher(it, depth=self.prefetch)
         return it
+
+
+#: Live prefetchers, stopped at interpreter exit: an abandoned worker
+#: daemon thread killed mid-h5py-read at teardown can hang the process.
+_LIVE_PREFETCHERS: "weakref.WeakSet" = weakref.WeakSet()
+
+
+@atexit.register
+def _stop_live_prefetchers() -> None:
+    for p in list(_LIVE_PREFETCHERS):
+        try:
+            p.stop()
+        except Exception:
+            pass
 
 
 class Prefetcher:
@@ -133,6 +188,7 @@ class Prefetcher:
 
         self.thread = threading.Thread(target=worker, daemon=True)
         self.thread.start()
+        _LIVE_PREFETCHERS.add(self)
 
     def stop(self) -> None:
         """Release the worker thread and drop queued batches."""
@@ -142,6 +198,9 @@ class Prefetcher:
                 self.q.get_nowait()
             except queue.Empty:
                 break
+        # Let an in-flight read finish so the daemon thread is not killed
+        # inside an h5py/C call at interpreter teardown (observed exit hang).
+        self.thread.join(timeout=5.0)
 
     def __iter__(self):
         return self

@@ -24,13 +24,11 @@ from passt_tpu.data import (
     ConcatDataset,
     DataLoader,
     HDF5AudioDataset,
-    MapDataset,
     SequentialSampler,
     ShuffleSampler,
     WavMixDataset,
     WeightedEpochSampler,
     class_balanced_sample_weights,
-    roll_augment,
 )
 from passt_tpu.models.passt import init_passt
 from passt_tpu.ops.frontend import log_mel_spectrogram
@@ -77,14 +75,9 @@ def build_train_dataset(cfg: ExperimentConfig):
         )
     ds = sets[0] if len(sets) == 1 else ConcatDataset(sets)
     if d.roll:
-        rng = np.random.default_rng(d.seed + 17)
-        shift = d.roll_shift_range
+        from passt_tpu.data.datasets import RollDataset
 
-        def roll_fn(item):
-            x, f, y = item
-            return roll_augment(x, shift, rng), f, y
-
-        ds = MapDataset(ds, roll_fn)
+        ds = RollDataset(ds, d.roll_shift_range, seed=d.seed + 17)
     if d.wavmix:
         ds = WavMixDataset(ds, merge_masks=d.merge_mask_wavmix, seed=d.seed + 31)
     return ds
@@ -145,8 +138,19 @@ def build_train_loader(cfg: ExperimentConfig, dataset=None, batch_scale: int = 1
     else:
         num_replicas, rank = _resolve_rank(d)
         sampler = ShuffleSampler(len(ds), num_replicas, rank, seed=d.seed)
+    builder = None
+    if dataset is None:
+        from passt_tpu.data.native_loader import maybe_native_builder
+
+        builder = maybe_native_builder(cfg, ds)
     return DataLoader(
-        ds, d.batch_size * batch_scale, sampler, drop_last=True, prefetch=d.prefetch
+        ds,
+        d.batch_size * batch_scale,
+        sampler,
+        drop_last=True,
+        prefetch=d.prefetch,
+        num_workers=d.num_workers,
+        batch_builder=builder,
     )
 
 
@@ -163,7 +167,12 @@ def build_eval_loader(cfg: ExperimentConfig, which: Optional[str] = None, batch_
             pad_to_multiple=int(cfg.data.eval_pad_multiple_s * cfg.data.sample_rate),
         )
     return DataLoader(
-        ds, bs, SequentialSampler(len(ds)), collate=collate, prefetch=cfg.data.prefetch
+        ds,
+        bs,
+        SequentialSampler(len(ds)),
+        collate=collate,
+        prefetch=cfg.data.prefetch,
+        num_workers=cfg.data.num_workers,
     )
 
 
@@ -472,6 +481,36 @@ class Experiment:
         print("average speed: ", speed, " specs/second")
         return {"specs_per_second": speed}
 
+    def test_loaders_train_speed(self, cfg: ExperimentConfig) -> Dict:
+        """Loader-only throughput: two timed full passes over the training
+        loader, no TPU step (reference test_loaders_train_speed,
+        config_updates.py:233-251 — pass 1 is cold cache, pass 2 warm).
+        Prints clips/second so the host plane can be compared directly
+        against the TPU consumption rate from model_speed_test."""
+        loader = build_train_loader(cfg)
+        native = loader.batch_builder is not None
+        out: Dict[str, float] = {"native": native, "num_workers": loader.num_workers}
+        for pass_i in (1, 2):
+            loader.set_epoch(pass_i)
+            n_clips = 0
+            limit = cfg.trainer.limit_train_batches
+            t0 = time.perf_counter()
+            it = iter(loader)
+            for i, batch in enumerate(it):
+                if limit is not None and i >= limit:
+                    if hasattr(it, "stop"):
+                        it.stop()
+                    break
+                n_clips += len(batch["wave"])
+            dt = time.perf_counter() - t0
+            rate = n_clips / dt if dt > 0 else float("inf")
+            print(
+                f"pass {pass_i}: {n_clips} clips in {dt:.2f}s = {rate:.1f} clips/s "
+                f"(native={native}, workers={loader.num_workers})"
+            )
+            out[f"pass{pass_i}_clips_per_s"] = rate
+        return out
+
     def test_loaders(self, cfg: ExperimentConfig) -> Dict:
         """Pull one batch from each loader (ex_audioset.py:444-456)."""
         out = {}
@@ -561,6 +600,7 @@ class Experiment:
         "predict",
         "model_speed_test",
         "test_loaders",
+        "test_loaders_train_speed",
         "print_config",
         "print_named_configs",
         "preload",

@@ -263,3 +263,92 @@ def test_prefetcher_stop_releases_worker():
         _time.sleep(0.01)
     assert not it.thread.is_alive()  # worker exited, not blocked on put
     assert len(produced) < 100  # and it did not drain the source
+
+
+# --------------------------------------------------------------------------
+# Parallel workers + native batch assembly
+# --------------------------------------------------------------------------
+def test_dataloader_workers_deterministic(synth_hdf5):
+    """Item augmentation is a pure function of (epoch seed, index), so
+    worker count/scheduling never changes the produced batches."""
+    def batches(num_workers):
+        ds = HDF5AudioDataset(
+            synth_hdf5, classes_num=16, clip_length=2, gain_augment_db=7, seed=3
+        )
+        mixed = WavMixDataset(ds, rate=0.5, seed=7)
+        loader = DataLoader(
+            mixed, 4, SequentialSampler(len(mixed)), prefetch=0, num_workers=num_workers
+        )
+        loader.set_epoch(2)
+        return list(loader)
+
+    a, b = batches(0), batches(4)
+    assert len(a) == len(b) == 5
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["wave"], y["wave"])
+        np.testing.assert_array_equal(x["target"], y["target"])
+        assert x["name"] == y["name"]
+
+
+def test_set_epoch_changes_augmentation(synth_hdf5):
+    ds = HDF5AudioDataset(
+        synth_hdf5, classes_num=16, clip_length=2, gain_augment_db=7, seed=3
+    )
+    ds.set_epoch(0)
+    w0 = [ds[i][0] for i in range(8)]
+    ds.set_epoch(1)
+    w1 = [ds[i][0] for i in range(8)]
+    # the integer-dB gain draw (14 values) may collide per item; across 8
+    # items at least one must differ between epochs
+    assert any(not np.array_equal(a, b) for a, b in zip(w0, w1))
+    ds.set_epoch(0)
+    for i in range(8):
+        np.testing.assert_array_equal(ds[i][0], w0[i])  # and reproducible
+
+
+def test_native_builder_matches_numpy_chain(synth_hdf5):
+    """With augmentation off, the fused C++ batch assembly is bit-identical
+    to the per-item numpy chain (decode + pad/truncate + unpackbits)."""
+    from passt_tpu.data import native
+
+    if not native.available():
+        pytest.skip("libhostplane.so not built")
+    from passt_tpu.data.native_loader import NativeBatchBuilder
+    from passt_tpu.data.pipeline import default_collate
+
+    ds = HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2)
+    builder = NativeBatchBuilder(ds, seed=0, num_workers=2)
+    idxs = [3, 0, 7, 12]
+    nat = builder(idxs)
+    ref = default_collate([ds[i] for i in idxs])
+    np.testing.assert_array_equal(nat["wave"], ref["wave"])
+    np.testing.assert_array_equal(nat["target"], ref["target"])
+    assert nat["name"] == ref["name"]
+
+
+def test_native_builder_wavmix_matches_numpy_plan(synth_hdf5):
+    """The native wavmix draws its (apply, partner, lambda) plan from the
+    same per-(seed, index) streams as WavMixDataset.mix_plan, so targets
+    match the numpy chain exactly and waves match to float tolerance."""
+    from passt_tpu.data import native
+
+    if not native.available():
+        pytest.skip("libhostplane.so not built")
+    from passt_tpu.data.native_loader import NativeBatchBuilder
+    from passt_tpu.data.pipeline import default_collate
+
+    ds = HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2, seed=0)
+    mixed = WavMixDataset(ds, rate=0.5, seed=11)
+    builder = NativeBatchBuilder(ds, wavmix=True, seed=11, num_workers=0)
+    epoch = 4
+    from passt_tpu.data.datasets import set_epoch_recursive
+
+    set_epoch_recursive(mixed, epoch)
+    builder.set_epoch(epoch)
+    idxs = list(range(12))
+    plans = [mixed.mix_plan(i) for i in idxs]
+    assert any(p[0] for p in plans) and not all(p[0] for p in plans)
+    nat = builder(idxs)
+    ref = default_collate([mixed[i] for i in idxs])
+    np.testing.assert_allclose(nat["target"], ref["target"], atol=1e-6)
+    np.testing.assert_allclose(nat["wave"], ref["wave"], atol=1e-5)
