@@ -127,3 +127,91 @@ def test_hop_variant_geometry(rng_np, hop, expected_frames):
     wave = jnp.asarray(rng_np.standard_normal((1, 32000)).astype(np.float32))
     out = log_mel_spectrogram(wave, cfg)
     assert out.shape == (1, 128, cfg.frames(32000))
+
+
+# --------------------------------------------------------------------------
+# Independent oracle: vendored torchaudio.compliance.kaldi transcription
+# --------------------------------------------------------------------------
+def test_banks_match_torchaudio_transcription():
+    """ops.mel vs tests/torchaudio_kaldi_vendor.py — two independent author
+    paths (re-derivation from the Kaldi formula vs transcription of the
+    torchaudio implementation) over the full augmentation range the AudioSet
+    recipe draws from (fmin in [0,10), fmax in [14001,16000]),
+    preprocess.py:63-74 with fmin_aug_range=10, fmax_aug_range=2000."""
+    from torchaudio_kaldi_vendor import get_mel_banks
+
+    cases = [(0.0, 15000.0), (9.0, 14001.0), (3.0, 16000.0), (0.0, -500.0),
+             (50.0, 8000.0), (0.0, 15500.0)]
+    for fmin, fmax in cases:
+        vendor, _ = get_mel_banks(128, 1024, 32000, fmin, fmax, 100.0, -500.0, 1.0)
+        ours_np = kaldi_mel_banks_np(128, 1024, 32000, fmin, fmax)
+        np.testing.assert_allclose(ours_np, vendor, atol=1e-10, err_msg=f"{fmin},{fmax}")
+        ours_jax = np.asarray(kaldi_mel_banks(128, 1024, 32000, fmin, fmax))
+        np.testing.assert_allclose(ours_jax, vendor, atol=1e-4, err_msg=f"{fmin},{fmax}")
+
+
+def test_vendor_vtln_branch_structure():
+    """The VTLN branch of the transcription (unused by the reference but part
+    of get_mel_banks): warp != 1 produces a valid filterbank that differs
+    from the unwarped one."""
+    from torchaudio_kaldi_vendor import get_mel_banks
+
+    # valid VTLN config: low_freq < vtln_low and vtln_high (=nyquist-500) < high_freq
+    warped, _ = get_mel_banks(40, 1024, 32000, 20.0, 16000.0, 100.0, -500.0, 1.1)
+    plain, _ = get_mel_banks(40, 1024, 32000, 20.0, 16000.0, 100.0, -500.0, 1.0)
+    assert warped.shape == plain.shape
+    assert (warped >= 0).all() and warped.max() <= 1.0 + 1e-9
+    assert not np.allclose(warped, plain)
+
+
+def test_frontend_matches_reference_torch_end_to_end():
+    """Run the ACTUAL reference AugmentMelSTFT.forward (eval mode) from
+    /root/reference with torchaudio stubbed by the vendored transcription,
+    and compare our whole JAX frontend against it — proving every non-bank
+    stage (pre-emphasis conv, reflect-pad STFT with the zero-padded Hann,
+    power, mel matmul, log, (x+4.5)/5) end-to-end in torch vs JAX
+    (reference preprocess.py:57-86)."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    from torchaudio_kaldi_vendor import install_torchaudio_stub
+    from reference_oracle import REFERENCE_ROOT, _install_stubs, reference_available
+
+    if not reference_available():
+        pytest.skip("reference not available")
+    install_torchaudio_stub()
+    _install_stubs()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models.preprocess import AugmentMelSTFT  # reference module
+
+    ref_mel = AugmentMelSTFT(
+        n_mels=128, sr=32000, win_length=800, hopsize=320, n_fft=1024,
+        freqm=48, timem=192, fmin=0.0, fmax=None,
+        fmin_aug_range=10, fmax_aug_range=2000,  # ex_audioset.py:64-69
+    )
+    ref_mel.eval()
+
+    rng = np.random.default_rng(7)
+    t = np.arange(32000 * 2) / 32000.0
+    wave = (
+        0.4 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.2 * np.sin(2 * np.pi * 3000.0 * t)
+        + 0.05 * rng.standard_normal(t.size)
+    ).astype(np.float32)[None, :]  # [1, T]
+
+    with torch.no_grad():
+        ref_out = ref_mel(torch.from_numpy(wave)).numpy()
+
+    cfg = MelConfig(fmin_aug_range=10, fmax_aug_range=2000)
+    ours = np.asarray(log_mel_spectrogram(jnp.asarray(wave), cfg, train=False))
+
+    assert ref_out.shape == ours.shape
+    err = np.abs(ref_out - ours)
+    # Two-tier bound: the residual is float32 rounding amplified by the log
+    # on near-silent bins (measured: mean 1.3e-6, max 3.1e-5 at mel power
+    # ~1e-4; bins at/above median power stay <= ~1.2e-5).
+    assert err.max() <= 5e-5, f"frontend parity {err.max()}"
+    assert err.mean() <= 5e-6, f"frontend mean parity {err.mean()}"
+    power = np.exp(ref_out * 5.0 - 4.5)  # undo (x+4.5)/5 and the log
+    assert err[power >= np.median(power)].max() <= 2e-5
