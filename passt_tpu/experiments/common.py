@@ -306,11 +306,15 @@ class Experiment:
 
         desc, total, non_zero = count_non_zero_params(state.params)
         print(f"model: {desc}")  # (reference logs these, ex_audioset.py:121-123)
-        val_loader = None
-        try:
-            val_loader = build_eval_loader(cfg)
-        except FileNotFoundError:
-            pass
+        # Every configured eval set is validated every epoch: FSD50K trains
+        # against BOTH [valid, eval] (reference ex_fsd50k.py:318-322); the
+        # other recipes configure only eval_hdf5 and keep a single set.
+        val_loaders = {}
+        for which in ("valid", "eval"):
+            try:
+                val_loaders[which] = build_eval_loader(cfg, which=which)
+            except FileNotFoundError:
+                pass
         logger = MetricsLogger(
             path=(cfg.trainer.checkpoint_dir or ".") + f"/{self.name}_metrics.jsonl"
             if cfg.trainer.checkpoint_dir
@@ -334,7 +338,7 @@ class Experiment:
             eval_step=eval_step,
             state=state,
             train_loader=train_loader,
-            val_loader=val_loader,
+            val_loaders=val_loaders,
             max_epochs=cfg.trainer.max_epochs,
             base_rng=jax.random.PRNGKey(cfg.trainer.seed + 1),
             swa_epoch_start=cfg.trainer.swa_epoch_start if cfg.trainer.swa else None,

@@ -165,6 +165,7 @@ def fit(
     state: TrainState,
     train_loader,
     val_loader=None,
+    val_loaders: Optional[Dict[str, Any]] = None,
     max_epochs: int,
     base_rng: jax.Array,
     swa_epoch_start: Optional[int] = None,
@@ -189,6 +190,15 @@ def fit(
     logger = logger or MetricsLogger()
     if runtime is not None and device_put is jnp.asarray:
         device_put = runtime.device_put
+    # One loader -> unprefixed metrics (reference ex_audioset); several ->
+    # every set's metrics carry a "{name}_" prefix, exactly like the
+    # reference's FSD50K dual validation (ex_fsd50k.py:220-260 logs
+    # valid_ap / eval_ap / valid_swa_ap / ...).
+    if val_loaders is None:
+        val_loaders = {"": val_loader} if val_loader is not None else {}
+    elif val_loader is not None:
+        raise ValueError("pass either val_loader or val_loaders, not both")
+    multi_val = len(val_loaders) > 1
     swa_state = None
     if swa_restore is not None and swa_epoch_start is not None:
         avg_params, n_avg = swa_restore
@@ -304,18 +314,20 @@ def fit(
                 swa_state = swa_update(swa_state, state.params)
                 record["swa_n"] = swa_state.n_averaged
 
-        if val_loader is not None and (epoch + 1) % eval_every == 0:
-            em = evaluate(
-                eval_step, state.params, val_loader, limit_eval_batches,
-                single_label, masked, runtime=runtime,
-            )
-            record.update(em)
-            if swa_state is not None and swa_state.n_averaged > 0:
-                sm = evaluate(
-                    eval_step, swa_state.avg_params, val_loader, limit_eval_batches,
+        if val_loaders and (epoch + 1) % eval_every == 0:
+            for set_name, loader in val_loaders.items():
+                pre = f"{set_name}_" if (multi_val and set_name) else ""
+                em = evaluate(
+                    eval_step, state.params, loader, limit_eval_batches,
                     single_label, masked, runtime=runtime,
                 )
-                record.update({f"swa_{k}": v for k, v in sm.items()})
+                record.update({f"{pre}{k}": v for k, v in em.items()})
+                if swa_state is not None and swa_state.n_averaged > 0:
+                    sm = evaluate(
+                        eval_step, swa_state.avg_params, loader, limit_eval_batches,
+                        single_label, masked, runtime=runtime,
+                    )
+                    record.update({f"{pre}swa_{k}": v for k, v in sm.items()})
 
         logger.log(record)
         history.append(record)

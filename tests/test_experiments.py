@@ -188,6 +188,30 @@ def test_experiment_mini_train_on_mesh(tmp_path, rng_np, monkeypatch):
     assert np.isfinite(hist2[0]["train_loss"])
 
 
+def test_fsd50k_dual_validation_per_epoch(tmp_path, rng_np, monkeypatch):
+    """FSD50K validates on BOTH [valid, eval] every epoch with set-name
+    prefixed metrics (reference ex_fsd50k.py:318-322, 220-260 logs
+    valid_ap / eval_ap / valid_swa_ap / eval_swa_ap)."""
+    exp = EXPERIMENTS["fsd50k"]
+    path = _make_synth(tmp_path, rng_np, classes=200)
+    cfg = _shrink(exp.default_config, path, 200)
+    cfg = apply_overrides(cfg, {"data.valid_hdf5": path})
+    import passt_tpu.models.registry as registry
+
+    spec = registry.ARCHS[cfg.model.arch]
+    monkeypatch.setitem(
+        registry.ARCHS,
+        cfg.model.arch,
+        dataclasses.replace(spec, depth=2, embed_dim=64, num_heads=4),
+    )
+    result = exp.main(cfg)
+    last = result["history"][-1]
+    for key in ("valid_ap", "eval_ap", "valid_swa_ap", "eval_swa_ap",
+                "valid_val_loss", "eval_val_loss"):
+        assert key in last, sorted(last)
+    assert "ap" not in last  # multi-set: every metric is prefixed
+
+
 def test_test_loaders_and_print_config(tmp_path, rng_np, capsys):
     exp = EXPERIMENTS["audioset"]
     path = _make_synth(tmp_path, rng_np, classes=527)

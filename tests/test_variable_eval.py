@@ -60,3 +60,91 @@ def test_eval_set_switch(tmp_path, rng_np):
     assert len(build_eval_loader(cfg).dataset) == 2
     cfg2 = apply_overrides(cfg, {"data.eval_set": "valid"})
     assert len(build_eval_loader(cfg2).dataset) == 4
+
+
+def test_exact_eval_preset():
+    base = EXPERIMENTS["fsd50k"].default_config
+    _, cfg = parse_cli(["evaluate_only", "exact_eval"], base)
+    assert cfg.data.clip_length is None
+    assert cfg.data.eval_batch_size == 1
+    assert cfg.data.eval_pad_multiple_s == 0
+
+
+def test_padded_vs_exact_eval_ap_delta(tmp_path, rng_np):
+    """Bound the metric impact of padded variable-length eval vs the
+    reference's exact-length bs=1 protocol (fsd50k/dataset.py:70-79):
+    zero-padded tail seconds become real (silence) mel frames that enter
+    attention and shift logits. On this toy (trained on 0.6-s padded clips,
+    so padded eval is in-distribution and exact-length is the shifted
+    protocol) the measured delta is ~0.12 AP — evidence that the two
+    protocols are NOT interchangeable, which is exactly why the exact_eval
+    preset exists. The test asserts both protocols work end-to-end, the
+    model learned, and the delta stays within a loose sanity bound; a tight
+    parity bound needs the real FSD50K checkpoint + eval set (documented in
+    PARITY.md)."""
+    import functools
+
+    import jax
+
+    from passt_tpu.data.pipeline import default_collate
+    from passt_tpu.models.passt import PaSSTConfig
+    from passt_tpu.ops.frontend import MelConfig
+    from passt_tpu.train.loop import evaluate
+    from passt_tpu.train.steps import (
+        create_train_state,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    classes = 8
+    # tones: class k = pure tone at a class frequency, variable 0.3-0.6 s
+    items = []
+    for i in range(32):
+        k = i % classes
+        secs = 0.3 + 0.0375 * (i % 8)
+        t = np.arange(int(32000 * secs)) / 32000.0
+        wave = (0.5 * np.sin(2 * np.pi * (500 + 700 * k) * t)).astype(np.float32)
+        y = np.zeros(classes)
+        y[k] = 1
+        items.append((f"c{i}.wav", wave, y))
+    path = str(tmp_path / "tones.h5")
+    pack_waveform_hdf5(path, items, packed_targets=False)
+
+    cfg = PaSSTConfig(
+        input_fdim=32, input_tdim=60, embed_dim=64, depth=2, num_heads=4,
+        num_classes=classes,
+    )
+    mcfg = MelConfig(n_mels=32, freqm=0, timem=0)
+    tx = make_optimizer(lr=2e-3, steps_per_epoch=8)
+    model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, mcfg, use_mixup=False)
+    train_ds = HDF5AudioDataset(path, classes_num=classes, clip_length=0.6,
+                                packed_targets=False)
+    train_dl = DataLoader(train_ds, 8, SequentialSampler(len(train_ds)), prefetch=0)
+    import jax.numpy as jnp
+
+    for _ in range(6):
+        for b in train_dl:
+            state, _ = step(
+                state,
+                {"wave": jnp.asarray(b["wave"]), "target": jnp.asarray(b["target"])},
+                jax.random.PRNGKey(1),
+            )
+
+    eval_step = make_eval_step(model, mcfg)
+    ds = HDF5AudioDataset(path, classes_num=classes, clip_length=None,
+                          packed_targets=False)
+    exact = DataLoader(ds, 1, SequentialSampler(len(ds)), prefetch=0)
+    padded = DataLoader(
+        ds, 4, SequentialSampler(len(ds)),
+        collate=functools.partial(default_collate, pad_to_multiple=int(0.6 * 32000)),
+        prefetch=0,
+    )
+    m_exact = evaluate(eval_step, state.params, exact)
+    m_padded = evaluate(eval_step, state.params, padded)
+    assert m_exact["n_eval"] == m_padded["n_eval"] == 32
+    delta = abs(m_exact["ap"] - m_padded["ap"])
+    print(f"exact ap={m_exact['ap']:.4f} padded ap={m_padded['ap']:.4f} delta={delta:.4f}")
+    assert m_exact["ap"] > 0.5 and m_padded["ap"] > 0.5  # both learned protocols work
+    assert delta < 0.3  # loose sanity bound; see docstring
