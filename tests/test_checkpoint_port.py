@@ -72,3 +72,46 @@ def test_pt_with_state_dict_wrapper(tmp_path):
     torch.save({"state_dict": ref.state_dict(), "epoch": 7}, pt_path)
     sd = load_torch_checkpoint(pt_path)
     assert "cls_token" in sd and sd["cls_token"].shape == (1, 1, 64)
+
+
+def test_port_checkpoint_script_dry_run(tmp_path, monkeypatch):
+    """scripts/port_checkpoint.py end-to-end on a synthetic reference .pt:
+    the push-button runbook path (PARITY.md) minus the real download."""
+    import dataclasses
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import passt_tpu.models.registry as registry
+    import port_checkpoint
+
+    arch = "passt_s_swa_p16_128_ap476"
+    monkeypatch.setitem(
+        registry.ARCHS,
+        arch,
+        dataclasses.replace(registry.ARCHS[arch], depth=2, embed_dim=192, num_heads=3),
+    )
+    ref_passt = load_reference_passt_module()
+    torch.manual_seed(5)
+    ref = ref_passt.PaSST(
+        img_size=(128, 998), patch_size=16, stride=(10, 10), in_chans=1,
+        num_classes=527, distilled=True, depth=2, embed_dim=192, num_heads=3,
+    )
+    pt_path = str(tmp_path / "synthetic.pt")
+    torch.save(ref.state_dict(), pt_path)
+    out_npz = str(tmp_path / "ported" / "ap476.npz")
+
+    rc = port_checkpoint.main([pt_path, out_npz, "--arch", arch])
+    assert rc == 0
+
+    # the ported npz evaluates through the public command surface
+    cfg = PaSSTConfig(num_classes=527, depth=2, embed_dim=192, num_heads=3)
+    model, init_params = init_passt(cfg, jax.random.PRNGKey(0))
+    params = load_pretrained_params(out_npz, cfg, init_params)
+    x = np.random.default_rng(0).standard_normal((1, 1, 128, 998)).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        ref_logits, _ = ref(torch.from_numpy(x))
+    logits, _ = model.apply({"params": params}, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=2e-4)
