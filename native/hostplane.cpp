@@ -13,6 +13,8 @@
 //
 // Build: make -C native  (produces libhostplane.so)
 
+#include <dlfcn.h>
+
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -153,6 +155,168 @@ void DecodeOne(const int16_t* src, int64_t src_len, float* dst, int64_t dst_len,
   }
 }
 
+// ---------------------------------------------------------------------------
+// mp3 decode via the system libmpg123 (the TPU-host equivalent of the
+// reference's PyAV/ffmpeg decode workers, reference audioset/dataset.py:55-70:
+// decode_mp3 -> float32 waveform at the file's native rate). libmpg123 is
+// dlopen'd lazily so libhostplane.so itself builds and loads on machines
+// without it; hostplane_mp3_available() reports the outcome.
+//
+// Only the stable public libmpg123-0 C ABI is used (prototypes declared
+// here; the image ships the runtime library but no headers).
+// ---------------------------------------------------------------------------
+using mpg123_handle = void;
+
+struct Mpg123Api {
+  void* dso = nullptr;
+  int (*init)() = nullptr;
+  mpg123_handle* (*new_)(const char*, int*) = nullptr;
+  void (*delete_)(mpg123_handle*) = nullptr;
+  int (*param)(mpg123_handle*, int, long, double) = nullptr;
+  int (*open_feed)(mpg123_handle*) = nullptr;
+  int (*close)(mpg123_handle*) = nullptr;
+  int (*decode)(mpg123_handle*, const unsigned char*, size_t, unsigned char*,
+                size_t, size_t*) = nullptr;
+  int (*getformat)(mpg123_handle*, long*, int*, int*) = nullptr;
+  bool ok = false;
+};
+
+// Public ABI constants from <mpg123.h> (stable since 1.x).
+enum {
+  kMpg123Ok = 0,
+  kMpg123NeedMore = -10,
+  kMpg123NewFormat = -11,
+  kMpg123Done = -12,
+  kParamAddFlags = 2,              // MPG123_ADD_FLAGS
+  kFlagQuiet = 0x20,               // MPG123_QUIET
+  kFlagForceFloat = 0x400,         // MPG123_FORCE_FLOAT
+  kEncSigned16 = 0xD0,             // MPG123_ENC_SIGNED_16
+  kEncFloat32 = 0x200,             // MPG123_ENC_FLOAT_32
+};
+
+const Mpg123Api& mpg123() {
+  static Mpg123Api api = [] {
+    Mpg123Api a;
+    for (const char* name :
+         {"libmpg123.so.0", "libmpg123.so", "libmpg123-fad61782.so.0.47.0"}) {
+      a.dso = dlopen(name, RTLD_LAZY | RTLD_LOCAL);
+      if (a.dso) break;
+    }
+    if (!a.dso) return a;
+    auto sym = [&](const char* s) { return dlsym(a.dso, s); };
+    a.init = reinterpret_cast<decltype(a.init)>(sym("mpg123_init"));
+    a.new_ = reinterpret_cast<decltype(a.new_)>(sym("mpg123_new"));
+    a.delete_ = reinterpret_cast<decltype(a.delete_)>(sym("mpg123_delete"));
+    a.param = reinterpret_cast<decltype(a.param)>(sym("mpg123_param"));
+    a.open_feed =
+        reinterpret_cast<decltype(a.open_feed)>(sym("mpg123_open_feed"));
+    a.close = reinterpret_cast<decltype(a.close)>(sym("mpg123_close"));
+    a.decode = reinterpret_cast<decltype(a.decode)>(sym("mpg123_decode"));
+    a.getformat =
+        reinterpret_cast<decltype(a.getformat)>(sym("mpg123_getformat"));
+    a.ok = a.init && a.new_ && a.delete_ && a.open_feed && a.close &&
+           a.decode && a.getformat;
+    if (a.ok && a.init() != kMpg123Ok) a.ok = false;
+    return a;
+  }();
+  return api;
+}
+
+// Decode one in-memory mp3 into mono float32 at the native rate.
+// Returns the total decoded sample count (which may exceed out_cap; the
+// first out_cap samples are written), or a negative error code.
+int64_t DecodeMp3One(const uint8_t* data, int64_t size, float* out,
+                     int64_t out_cap, int32_t* rate_out) {
+  const Mpg123Api& m = mpg123();
+  if (!m.ok) return -2;
+  int err = 0;
+  mpg123_handle* h = m.new_(nullptr, &err);
+  if (!h) return -1;
+  if (m.param) {
+    m.param(h, kParamAddFlags, kFlagQuiet | kFlagForceFloat, 0.0);
+  }
+  if (m.open_feed(h) != kMpg123Ok) {
+    m.delete_(h);
+    return -1;
+  }
+  long rate = 0;
+  int channels = 0, encoding = 0;
+  std::vector<unsigned char> chunk(1 << 16);
+  // Carry one stereo frame's worth so channel pairs never split chunks.
+  std::vector<unsigned char> pending;
+  int64_t total = 0;  // mono samples produced
+  const unsigned char* in = data;
+  size_t in_left = static_cast<size_t>(size);
+  bool done = false;
+  auto emit = [&](const unsigned char* buf, size_t bytes) {
+    // Convert bytes -> mono float32 samples, append into out up to cap.
+    if (encoding == kEncFloat32) {
+      const float* f = reinterpret_cast<const float*>(buf);
+      size_t n = bytes / sizeof(float) / channels;
+      for (size_t i = 0; i < n; ++i) {
+        if (total < out_cap) {
+          float v = f[i * channels];
+          for (int c = 1; c < channels; ++c) v += f[i * channels + c];
+          out[total] = v / channels;
+        }
+        ++total;
+      }
+    } else if (encoding == kEncSigned16) {
+      const int16_t* p = reinterpret_cast<const int16_t*>(buf);
+      size_t n = bytes / sizeof(int16_t) / channels;
+      for (size_t i = 0; i < n; ++i) {
+        if (total < out_cap) {
+          float v = p[i * channels];
+          for (int c = 1; c < channels; ++c) v += p[i * channels + c];
+          out[total] = v / (32768.0f * channels);
+        }
+        ++total;
+      }
+    }
+  };
+  while (!done) {
+    size_t got = 0;
+    int rc = m.decode(h, in, in_left, chunk.data(), chunk.size(), &got);
+    in = nullptr;  // feed the input exactly once
+    in_left = 0;
+    if (got > 0) {
+      if (channels <= 0) {  // format not yet announced; should not happen
+        m.delete_(h);
+        return -1;
+      }
+      size_t frame = static_cast<size_t>(channels) *
+                     (encoding == kEncFloat32 ? 4 : 2);
+      pending.insert(pending.end(), chunk.data(), chunk.data() + got);
+      size_t usable = (pending.size() / frame) * frame;
+      emit(pending.data(), usable);
+      pending.erase(pending.begin(), pending.begin() + usable);
+    }
+    switch (rc) {
+      case kMpg123NewFormat:
+        if (m.getformat(h, &rate, &channels, &encoding) != kMpg123Ok ||
+            (encoding != kEncFloat32 && encoding != kEncSigned16)) {
+          m.delete_(h);
+          return -1;
+        }
+        break;
+      case kMpg123Ok:
+        break;
+      case kMpg123NeedMore:  // whole buffer fed -> end of stream
+      case kMpg123Done:
+        done = true;
+        break;
+      default:  // decode error
+        m.delete_(h);
+        return total > 0 ? total : -1;
+    }
+  }
+  m.close(h);
+  m.delete_(h);
+  if (rate_out) *rate_out = static_cast<int32_t>(rate);
+  if (total == 0) return -3;  // no audio frames found
+  return total;
+}
+
 }  // namespace
 
 extern "C" {
@@ -234,6 +398,87 @@ void hostplane_unpack_targets(const uint8_t* packed, float* out, int64_t batch,
     float* dst = out + b * classes;
     for (int64_t c = 0; c < classes; ++c) {
       dst[c] = (src[c >> 3] >> (7 - (c & 7))) & 1 ? 1.0f : 0.0f;
+    }
+  });
+}
+
+// 1 when the system libmpg123 was found and bound, else 0.
+int hostplane_mp3_available() { return mpg123().ok ? 1 : 0; }
+
+// Decode one in-memory mp3 (column bytes from an AudioSet-style HDF5) into
+// mono float32 at the file's native rate (reference decode_mp3,
+// audioset/dataset.py:55-70). Writes min(n, out_cap) samples into out and
+// returns the full decoded length n (call again with a larger buffer if
+// n > out_cap), *rate_out = native sample rate. Negative return = error:
+// -1 bitstream/decoder error, -2 libmpg123 missing, -3 no audio frames.
+int64_t hostplane_decode_mp3(const uint8_t* data, int64_t size, float* out,
+                             int64_t out_cap, int32_t* rate_out) {
+  return DecodeMp3One(data, size, out, out_cap, rate_out);
+}
+
+// Pool-parallel batch decode (the reference's 16 PyAV workers,
+// ex_audioset.py:42-48). outs[i]/caps[i] per item; lens[i] gets the full
+// decoded length (or negative error), rates[i] the native rate.
+void hostplane_decode_mp3_batch(const uint8_t** datas, const int64_t* sizes,
+                                float** outs, const int64_t* caps,
+                                int64_t* lens, int32_t* rates, int64_t batch) {
+  pool().ParallelFor(batch, [&](int64_t b) {
+    lens[b] = DecodeMp3One(datas[b], sizes[b], outs[b], caps[b], &rates[b]);
+  });
+}
+
+// Fused mp3 batch assembly: per item decode + pad-or-crop + gain + roll in
+// one C++ pass (mp3-column twin of hostplane_assemble_batch; same RNG
+// streams, so (seed, index) determinism carries over). rates[b] gets the
+// native rate, lens[b] the full decoded length (negative = decode error;
+// the row is zero-filled so one bad clip doesn't kill the batch).
+void hostplane_assemble_mp3_batch(const uint8_t** datas, const int64_t* sizes,
+                                  float* out, int64_t batch,
+                                  int64_t clip_samples, int gain_db,
+                                  int64_t roll_range, int random_crop,
+                                  uint64_t seed, int32_t* rates,
+                                  int64_t* lens) {
+  pool().ParallelFor(batch, [&](int64_t b) {
+    float* dst = out + b * clip_samples;
+    // Decode the whole clip first (random_crop needs the true length).
+    std::vector<float> wav(
+        std::max<int64_t>(sizes[b] * 64 + 65536, clip_samples));
+    int64_t n = DecodeMp3One(datas[b], sizes[b], wav.data(),
+                             static_cast<int64_t>(wav.size()), &rates[b]);
+    lens[b] = n;
+    if (n <= 0) {
+      std::memset(dst, 0, clip_samples * sizeof(float));
+      return;
+    }
+    if (n > static_cast<int64_t>(wav.size())) {  // capacity heuristic missed
+      wav.resize(n);
+      n = DecodeMp3One(datas[b], sizes[b], wav.data(),
+                       static_cast<int64_t>(wav.size()), &rates[b]);
+      lens[b] = n;
+    }
+    Rng rng(seed * 0x100000001B3ull + static_cast<uint64_t>(b));
+    float gain = 1.0f;
+    if (gain_db > 0) {
+      int64_t g = rng.UniformInt(0, 2 * gain_db - 1) - gain_db;
+      gain = std::pow(10.0f, static_cast<float>(g) / 20.0f);
+    }
+    int64_t roll = roll_range > 0 ? rng.UniformInt(-roll_range, roll_range) : 0;
+    int64_t off = 0;
+    if (random_crop && n > clip_samples) {
+      off = rng.UniformInt(0, n - clip_samples);
+    }
+    // Same fused pad/crop+gain+roll as DecodeOne, on float input.
+    std::vector<float> tmp(clip_samples);
+    int64_t m = std::min(n - off, clip_samples);
+    if (m < 0) m = 0;
+    for (int64_t i = 0; i < m; ++i) tmp[i] = wav[off + i] * gain;
+    for (int64_t i = m; i < clip_samples; ++i) tmp[i] = 0.0f;
+    if (roll == 0) {
+      std::memcpy(dst, tmp.data(), clip_samples * sizeof(float));
+    } else {
+      int64_t r = ((roll % clip_samples) + clip_samples) % clip_samples;
+      std::memcpy(dst + r, tmp.data(), (clip_samples - r) * sizeof(float));
+      std::memcpy(dst, tmp.data() + (clip_samples - r), r * sizeof(float));
     }
   });
 }

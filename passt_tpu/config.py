@@ -35,6 +35,8 @@ class ModelSelect:
     s_patchout_t: int = 40  # AudioSet recipe default (ex_audioset.py:62)
     s_patchout_f: int = 4
     dtype: str = "bfloat16"
+    plus1_attn: bool = False  # "+1 trick" quiet attention (reference
+    # PLUS1_TRICK, passt.py:295 — a module global hardcoded False there)
     # ensemble evaluation (reference ensemble named configs,
     # config_updates.py:136-222): name into registry.ENSEMBLES plus a
     # directory of ported checkpoints named <arch>.npz
@@ -132,6 +134,7 @@ class ExperimentConfig:
             s_patchout_t=m.s_patchout_t,
             s_patchout_f=m.s_patchout_f,
             dtype=m.dtype,
+            plus1_attn=m.plus1_attn,
         )
 
     def pretty(self) -> str:

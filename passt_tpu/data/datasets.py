@@ -15,11 +15,13 @@ Reference semantics covered (file:line into /root/reference):
   mean-centering (audioset/dataset.py:115-140), mask-merging OpenMIC wavmix
   (openmic/dataset.py:117-137).
 
-The decode path is pluggable: this image has no ffmpeg/libav, so ``mp3``
-columns require registering a decoder (``register_decoder``); raw-waveform
-and WAV-bytes columns decode natively. The offline prep tools
-(passt_tpu/data/prepare) write raw/flac-free containers that need no
-external decoder.
+``mp3`` columns — the format of every published AudioSet/FSD50K/OpenMIC
+container (reference decode_mp3 via PyAV, audioset/dataset.py:55-70) —
+decode through the native C++ host plane backed by the system libmpg123
+(native/hostplane.cpp; build with ``make -C native``). The decoder table
+stays pluggable via ``register_decoder``. Raw-waveform and WAV-bytes
+columns decode with no external dependency, and the offline prep tools
+(passt_tpu/data/prepare) write raw containers that need no decoder at all.
 """
 
 from __future__ import annotations
@@ -151,11 +153,25 @@ def _decode_wav(buf: np.ndarray) -> np.ndarray:
     return x
 
 
+def _decode_mp3(buf: np.ndarray) -> np.ndarray:
+    """mp3 bytes -> float32 mono waveform at the file's native rate, via the
+    native host plane + system libmpg123 (the reference's PyAV decode_mp3,
+    audioset/dataset.py:55-70, decoded the same float32-at-native-rate way;
+    verified against an independent decoder in tests/test_mp3.py). The rate
+    is dropped to match the reference contract — AudioSet-family containers
+    are 32 kHz and downstream ``stride_resample`` assumes that source rate."""
+    from passt_tpu.data import native
+
+    wav, _rate = native.decode_mp3(buf)
+    return wav
+
+
 DECODERS: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
     "waveform": _decode_raw_f32,
     "raw_f32": _decode_raw_f32,
     "raw_i16": _decode_raw_i16,
     "wav": _decode_wav,
+    "mp3": _decode_mp3,
 }
 
 
@@ -218,6 +234,9 @@ class HDF5AudioDataset(AudioDataset):
                         break
                 else:
                     raise ValueError(f"no known audio column in {hdf5_file}")
+            # container's stored rate (our packers write it; the reference
+            # assumes 32 kHz containers, audioset/dataset.py:202-216)
+            self.source_rate = int(f.attrs.get("sample_rate", 32000))
         self.audio_column = audio_column
         self._local = threading.local()  # one handle per thread AND process:
         # h5py serializes concurrent access on a single handle, so parallel
@@ -296,7 +315,7 @@ class HDF5AudioDataset(AudioDataset):
                 waveform = random_crop(waveform, self.clip_samples, rng)
             else:
                 waveform = pad_or_truncate(waveform, self.clip_samples)
-        waveform = stride_resample(waveform, self.sample_rate)
+        waveform = stride_resample(waveform, self.sample_rate, self.source_rate)
         target = f["target"][index]
         if self.packed_targets:
             target = np.unpackbits(target, axis=-1, count=self.classes_num)

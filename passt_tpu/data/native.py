@@ -62,6 +62,28 @@ def load(n_threads: Optional[int] = None) -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         ctypes.c_int64,
     ]
+    lib.hostplane_mp3_available.restype = ctypes.c_int
+    lib.hostplane_decode_mp3.restype = ctypes.c_int64
+    lib.hostplane_decode_mp3.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.hostplane_assemble_mp3_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     if n_threads is None:
         n_threads = max(0, (os.cpu_count() or 1) - 1)
     lib.hostplane_init(n_threads)
@@ -119,6 +141,107 @@ def wavmix(out: np.ndarray, other: np.ndarray, lam: np.ndarray, apply: np.ndarra
         b,
         t,
     )
+
+
+def mp3_available() -> bool:
+    """True when libhostplane.so is built AND it found the system libmpg123
+    (the decode backend; dlopen'd lazily, see native/hostplane.cpp)."""
+    lib = load()
+    return lib is not None and bool(lib.hostplane_mp3_available())
+
+
+def decode_mp3(data) -> tuple:
+    """Decode one in-memory mp3 (bytes / uint8 array) -> (float32 mono
+    waveform at the native rate, sample_rate). The float32-at-native-rate
+    contract matches the reference's decode_mp3 (audioset/dataset.py:55-70,
+    PyAV); backend is the system libmpg123 via the C++ host plane."""
+    lib = load()
+    if lib is None or not lib.hostplane_mp3_available():
+        raise RuntimeError(
+            "mp3 decode needs the native host plane with libmpg123: "
+            "build it with `make -C native` (libmpg123.so.0 must be on the "
+            "loader path; it ships with this image and with pygame wheels)"
+        )
+    buf = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(
+        data, np.ndarray
+    ) else np.ascontiguousarray(data, dtype=np.uint8)
+    # Capacity heuristic: <=48 output samples per input byte for any valid
+    # Layer III stream (8 kbps @ 48 kHz); re-call with the exact size if the
+    # decoder reports more (free-format streams).
+    cap = int(buf.size) * 64 + 65536
+    out = np.empty(cap, dtype=np.float32)
+    rate = ctypes.c_int32(0)
+    n = lib.hostplane_decode_mp3(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cap,
+        ctypes.byref(rate),
+    )
+    if n > cap:
+        out = np.empty(int(n), dtype=np.float32)
+        n = lib.hostplane_decode_mp3(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(n),
+            ctypes.byref(rate),
+        )
+    if n < 0:
+        reason = {
+            -1: "bitstream/decoder error",
+            -2: "libmpg123 not found",
+            -3: "no audio frames in buffer",
+        }.get(int(n), f"error {int(n)}")
+        raise ValueError(f"mp3 decode failed: {reason}")
+    return out[:n].copy(), int(rate.value)
+
+
+def assemble_mp3_batch(
+    mp3_items,
+    clip_samples: int,
+    gain_db: int = 0,
+    roll_range: int = 0,
+    random_crop: bool = False,
+    seed: int = 0,
+):
+    """mp3_items: list of uint8 buffers -> ([B, clip_samples] float32,
+    native rates [B] int32, decoded lengths [B] int64) with fused
+    decode/pad-or-crop/gain/roll (deterministic in (seed, index); same RNG
+    streams as assemble_batch). lens[b] < 0 marks a decode error (row is
+    zeroed)."""
+    lib = load()
+    assert lib is not None and lib.hostplane_mp3_available(), (
+        "mp3 decode needs libhostplane.so + libmpg123 (make -C native)"
+    )
+    b = len(mp3_items)
+    items = [
+        np.ascontiguousarray(x, dtype=np.uint8)
+        if isinstance(x, np.ndarray)
+        else np.frombuffer(bytes(x), dtype=np.uint8)
+        for x in mp3_items
+    ]
+    ptrs = (ctypes.c_void_p * b)(
+        *[x.ctypes.data_as(ctypes.c_void_p).value for x in items]
+    )
+    sizes = (ctypes.c_int64 * b)(*[x.size for x in items])
+    out = np.empty((b, clip_samples), dtype=np.float32)
+    rates = np.empty(b, dtype=np.int32)
+    lens = np.empty(b, dtype=np.int64)
+    lib.hostplane_assemble_mp3_batch(
+        ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        ctypes.cast(sizes, ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b,
+        clip_samples,
+        gain_db,
+        roll_range,
+        1 if random_crop else 0,
+        seed,
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out, rates, lens
 
 
 def unpack_targets(packed: np.ndarray, classes: int) -> np.ndarray:

@@ -57,14 +57,26 @@ class NativeBatchBuilder:
             raise RuntimeError("libhostplane.so not built (make -C native)")
         if not isinstance(dataset, HDF5AudioDataset):
             raise TypeError("NativeBatchBuilder feeds on a plain HDF5AudioDataset")
-        if dataset.audio_column != "raw_i16":
+        if dataset.audio_column == "mp3":
+            if not native.mp3_available():
+                raise RuntimeError(
+                    "mp3 containers need the native plane with libmpg123 "
+                    "(make -C native; libmpg123.so.0 on the loader path)"
+                )
+        elif dataset.audio_column != "raw_i16":
             raise ValueError(
-                f"native assembly needs an int16 PCM column, got {dataset.audio_column!r}"
+                "native assembly needs an int16 PCM or mp3 column, got "
+                f"{dataset.audio_column!r}"
             )
         if dataset.clip_samples is None:
             raise ValueError("native assembly needs a fixed clip_length")
-        if dataset.sample_rate != 32000:
-            raise ValueError("native assembly supports sample_rate=32000 only")
+        if dataset.sample_rate != dataset.source_rate:
+            # C++ plane has no stride-resample; 16/8 kHz presets on 32 kHz
+            # containers keep the numpy path
+            raise ValueError(
+                "native assembly needs sample_rate == container rate "
+                f"({dataset.sample_rate} != {dataset.source_rate})"
+            )
         self.dataset = dataset
         self.roll_shift_range = roll_shift_range
         self.wavmix = wavmix
@@ -82,6 +94,29 @@ class NativeBatchBuilder:
     # ------------------------------------------------------------------
     def _assemble(self, bufs, seed: int) -> np.ndarray:
         ds = self.dataset
+        if ds.audio_column == "mp3":
+            # fused decode(libmpg123)+pad/crop+gain+roll, pool-parallel —
+            # the reference's 16 PyAV decode workers (ex_audioset.py:42-48)
+            wave, rates, lens = native.assemble_mp3_batch(
+                bufs,
+                ds.clip_samples,
+                gain_db=ds.gain_augment_db,
+                roll_range=self.roll_shift_range,
+                random_crop=ds.crop == "random",
+                seed=seed,
+            )
+            bad = np.nonzero(lens < 0)[0]
+            if bad.size:  # propagate like a torch worker exception
+                raise ValueError(
+                    f"mp3 decode failed for {bad.size} item(s) in batch "
+                    f"(first error code {int(lens[bad[0]])})"
+                )
+            if (rates != ds.sample_rate).any():
+                raise ValueError(
+                    f"mp3 native rate {int(rates[0])} != dataset sample_rate "
+                    f"{ds.sample_rate}"
+                )
+            return wave
         # zero-copy reinterpret of the vlen-uint8 rows (tobytes() would copy
         # the whole batch)
         pcm = [

@@ -183,6 +183,9 @@ class Experiment:
     name: str
     default_config: ExperimentConfig
     single_label: bool = False
+    # train-set length cache keyed by hdf5 paths (steps_per_epoch feeds the
+    # LR schedule; re-opening the files per call was a review finding)
+    _len_cache: Dict = dataclasses.field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------
     def _steps_per_epoch(self, cfg: ExperimentConfig, train_loader=None) -> int:
@@ -197,20 +200,34 @@ class Experiment:
         if cfg.data.weighted_sampler:
             n = cfg.data.epoch_len
         else:
-            # shuffle sampler: dataset length (readable without decoding)
-            try:
-                import h5py
+            # shuffle sampler: dataset length (readable without decoding).
+            # Cached per (hdf5 paths): a wrong value here silently distorts
+            # the LR schedule, so the fallback is logged loudly too.
+            key = (cfg.data.train_hdf5, cfg.data.train_hdf5_extra)
+            n = self._len_cache.get(key)
+            if n is None:
+                try:
+                    import h5py
 
-                n = 0
-                for path in filter(None, [cfg.data.train_hdf5, cfg.data.train_hdf5_extra]):
-                    with h5py.File(path, "r") as f:
-                        n += len(f["audio_name"])
-            except Exception:
-                n = cfg.data.epoch_len
+                    n = 0
+                    for path in filter(
+                        None, [cfg.data.train_hdf5, cfg.data.train_hdf5_extra]
+                    ):
+                        with h5py.File(path, "r") as f:
+                            n += len(f["audio_name"])
+                except Exception as e:
+                    n = cfg.data.epoch_len
+                    print(
+                        f"WARNING: could not read train HDF5 length ({e!r}); "
+                        f"steps_per_epoch falls back to epoch_len={n} — the "
+                        "LR schedule may be off"
+                    )
+                self._len_cache[key] = n
         num_replicas = cfg.data.num_replicas
         if num_replicas == 0:
             num_replicas = jax.process_count()
-        return max(1, n // max(1, num_replicas) // cfg.data.batch_size)
+        steps = max(1, n // max(1, num_replicas) // cfg.data.batch_size)
+        return steps
 
     def build(
         self,

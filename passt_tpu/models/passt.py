@@ -77,6 +77,9 @@ class PaSSTConfig:
     dtype: str = "float32"  # computation dtype ("bfloat16" for training)
     remat: bool = False  # rematerialize blocks in backward (HBM-traffic relief)
     softmax_fp32: bool = True  # fp32 attention softmax (False: bf16, faster)
+    plus1_attn: bool = False  # "+1 trick": softmax over [logits, 0] so rows
+    # may sum to <1 (quiet attention; reference PLUS1_TRICK module global,
+    # passt.py:295 + 349-355 — hardcoded False there, a real option here)
     verbose_shapes: bool = False  # print stage shapes at trace time
     # (the reference's first_RUN shape tracing, passt.py:507-594)
 
@@ -172,6 +175,7 @@ class Attention(nn.Module):
     proj_drop: float
     dtype: Dtype
     softmax_fp32: bool = True
+    plus1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -186,12 +190,21 @@ class Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, Dh]
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        if self.plus1:
+            # "+1 trick" (reference PLUS1_TRICK, passt.py:349-355): append a
+            # zero logit before softmax and drop it after, so a head can
+            # attend to nothing (rows sum to < 1).
+            attn = jnp.concatenate(
+                [attn, jnp.zeros(attn.shape[:-1] + (1,), attn.dtype)], axis=-1
+            )
         if self.softmax_fp32:
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         else:
             # bf16 softmax with the max-subtraction still computed exactly;
             # saves the fp32 NxN materialization (memory-bound relief).
             attn = jax.nn.softmax(attn, axis=-1)
+        if self.plus1:
+            attn = attn[..., :-1]
         attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
 
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
@@ -212,6 +225,7 @@ class Block(nn.Module):
     drop_path_rate: float
     dtype: Dtype
     softmax_fp32: bool = True
+    plus1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -223,7 +237,8 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = Attention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
-            dtype=self.dtype, softmax_fp32=self.softmax_fp32, name="attn",
+            dtype=self.dtype, softmax_fp32=self.softmax_fp32, plus1=self.plus1,
+            name="attn",
         )(h.astype(self.dtype), train)
         x = x + maybe_drop_path(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
@@ -360,7 +375,8 @@ class PaSST(nn.Module):
             x = block_cls(
                 d, cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias,
                 cfg.drop_rate, cfg.attn_drop_rate, float(dpr[i]),
-                dtype=dtype, softmax_fp32=cfg.softmax_fp32, name=f"blocks_{i}",
+                dtype=dtype, softmax_fp32=cfg.softmax_fp32,
+                plus1=cfg.plus1_attn, name=f"blocks_{i}",
             )(x, train)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)

@@ -129,6 +129,7 @@ def get_model_config(
     s_patchout_t: int = 0,
     s_patchout_f: int = 0,
     dtype: str = "float32",
+    plus1_attn: bool = False,
 ) -> PaSSTConfig:
     """Resolve an arch name + overrides to a :class:`PaSSTConfig`
     (the reference ``get_model`` signature, passt.py:957-961)."""
@@ -154,6 +155,7 @@ def get_model_config(
         s_patchout_t=s_patchout_t,
         s_patchout_f=s_patchout_f,
         dtype=dtype,
+        plus1_attn=plus1_attn,
     )
 
 

@@ -84,6 +84,37 @@ class MetricsLogger:
             self._wandb.finish()
 
 
+def _gather_across_processes(out, target, loss):
+    """Concatenate per-host eval outputs across all JAX processes — the
+    reference's DDP ``all_gather`` before computing 'allap'
+    (ex_audioset.py:274-285). Hosts may hold different example counts
+    (rank-sliced loaders), so locals are padded to the max count, gathered,
+    and trimmed by a gathered validity count. Identity on one process."""
+    if jax.process_count() == 1:
+        return out, target, loss
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.array([len(out)], np.int64))
+    ).reshape(-1)
+    m = int(counts.max())
+
+    def pad(a):
+        return np.pad(a, ((0, m - len(a)),) + ((0, 0),) * (a.ndim - 1))
+
+    g = multihost_utils.process_allgather(
+        {"out": pad(out), "target": pad(target), "loss": pad(loss)}
+    )
+    trim = lambda k, shp: np.concatenate(
+        [np.asarray(g[k]).reshape((len(counts), m) + shp)[p, : int(counts[p])] for p in range(len(counts))]
+    )
+    return (
+        trim("out", out.shape[1:]),
+        trim("target", target.shape[1:]),
+        trim("loss", ()),
+    )
+
+
 def evaluate(
     eval_step: Callable,
     params,
@@ -125,8 +156,10 @@ def evaluate(
         losses.append(np.asarray(res["loss_per_example"])[:n])
     out = np.concatenate(outs)
     target = np.concatenate(targets)
+    loss = np.concatenate(losses)
+    out, target, loss = _gather_across_processes(out, target, loss)
     metrics: Dict[str, float] = {
-        "val_loss": float(np.mean(np.concatenate(losses))),
+        "val_loss": float(np.mean(loss)),
         "n_eval": len(out),
     }
     if single_label:
@@ -135,11 +168,15 @@ def evaluate(
         # OpenMIC protocol: targets are [labels || observed-mask]; every
         # metric counts only observed labels per class (the reference
         # weights sklearn metrics by y_mask per class).
-        from passt_tpu.train.metrics import masked_mean_average_precision
+        from passt_tpu.train.metrics import (
+            masked_mean_average_precision,
+            masked_roc_auc,
+        )
 
         k = target.shape[1] // 2
         labels, mask = (target[:, :k] > 0.5).astype(np.float64), target[:, k:]
         metrics["ap"] = masked_mean_average_precision(labels, out, mask)
+        metrics["roc"] = masked_roc_auc(labels, out, mask)
         metrics["allap"] = metrics["ap"]
     else:
         metrics["ap"] = mean_average_precision(target, out)

@@ -99,6 +99,26 @@ def masked_mean_average_precision(
     return float(np.mean(aps)) if aps else float("nan")
 
 
+def masked_roc_auc(
+    targets: np.ndarray, scores: np.ndarray, mask: np.ndarray
+) -> float:
+    """Class-mean ROC AUC counting only observed labels per class (the
+    OpenMIC protocol twin of :func:`masked_mean_average_precision`; the
+    reference weights ``roc_auc_score`` by ``y_mask[:, i]`` the same way,
+    ex_openmic.py validation)."""
+    targets = np.asarray(targets, dtype=np.float64)
+    scores = np.asarray(scores, dtype=np.float64)
+    mask = np.asarray(mask) > 0.5
+    aucs = []
+    for j in range(scores.shape[1]):
+        m = mask[:, j]
+        t, s = targets[m, j], scores[m, j]
+        if t.size == 0 or t.sum() == 0 or t.sum() == t.size:
+            continue  # AUC undefined without both classes present
+        aucs.append(float(roc_auc(t[:, None], s[:, None])[0]))
+    return float(np.mean(aucs)) if aucs else float("nan")
+
+
 def mean_average_precision(targets: np.ndarray, scores: np.ndarray, use_sklearn: bool = True) -> float:
     """Class-mean AP — the reference's headline 'ap'/'allap' metric
     (ex_audioset.py:256-258, 278-282)."""

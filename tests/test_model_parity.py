@@ -7,6 +7,8 @@ head structure) AND the state-dict converter simultaneously — any layout or
 math mismatch breaks logit parity.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -200,3 +202,30 @@ def test_pre_logits_representation_layer(rng_np):
     logits, feats = model.apply({"params": params}, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(feats), ref_feats.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=2e-4)
+
+
+def test_plus1_attention_trick():
+    """The '+1 trick' (reference PLUS1_TRICK, passt.py:295 + 349-355):
+    softmax over [logits, 0] then drop the zero column. Off by default and
+    a no-op flag must change outputs only when enabled."""
+    cfg = PaSSTConfig(input_fdim=32, input_tdim=50, embed_dim=64, depth=2,
+                      num_heads=4, num_classes=7)
+    model, params = init_passt(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((2, 1, 32, 50)), jnp.float32)
+    base, _ = model.apply({"params": params}, x, train=False)
+
+    cfg1 = dataclasses.replace(cfg, plus1_attn=True)
+    model1 = type(model)(cfg1)
+    out1, _ = model1.apply({"params": params}, x, train=False)  # same params
+    assert out1.shape == base.shape
+    assert not np.allclose(np.asarray(base), np.asarray(out1))
+
+    # reference semantics oracle: torch cat-zero/softmax/slice on raw logits
+    torch = pytest.importorskip("torch")
+    logits = np.random.default_rng(6).standard_normal((2, 4, 9, 9)).astype(np.float32)
+    t = torch.from_numpy(logits)
+    t = torch.cat([t, torch.zeros(t.shape[:-1] + (1,))], dim=-1).softmax(dim=-1)[..., :-1]
+    j = jax.nn.softmax(
+        jnp.concatenate([jnp.asarray(logits), jnp.zeros((2, 4, 9, 1))], axis=-1), axis=-1
+    )[..., :-1]
+    np.testing.assert_allclose(np.asarray(j), t.numpy(), atol=1e-6)

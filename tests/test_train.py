@@ -278,3 +278,27 @@ def test_masked_mean_average_precision():
         for j in range(3)
     ])
     np.testing.assert_allclose(ap, ref, rtol=1e-9)
+
+
+def test_masked_roc_auc():
+    """OpenMIC masked ROC: unobserved labels must not affect AUC, and the
+    value matches sklearn with per-class sample weights."""
+    from passt_tpu.train.metrics import masked_roc_auc
+
+    rng = np.random.default_rng(3)
+    n = 120
+    labels = (rng.uniform(size=(n, 4)) < 0.4).astype(np.float64)
+    scores = rng.uniform(size=(n, 4))
+    mask = (rng.uniform(size=(n, 4)) < 0.7).astype(np.float64)
+    auc = masked_roc_auc(labels, scores, mask)
+    skm = pytest.importorskip("sklearn.metrics")
+    ref = np.mean([
+        skm.roc_auc_score(labels[mask[:, j] > 0.5, j], scores[mask[:, j] > 0.5, j])
+        for j in range(4)
+    ])
+    np.testing.assert_allclose(auc, ref, rtol=1e-9)
+    # flipping an UNOBSERVED score must not move the metric
+    scores2 = scores.copy()
+    unobs = np.nonzero(mask[:, 0] < 0.5)[0]
+    scores2[unobs[0], 0] = 1.0 - scores2[unobs[0], 0]
+    np.testing.assert_allclose(masked_roc_auc(labels, scores2, mask), auc, rtol=1e-12)
