@@ -15,6 +15,14 @@ The paper (arXiv 2110.05069, Fig. 1) places PaSST-S training throughput at
 ~88 examples/s on one 2080 Ti; an A100 is ~2.8x a 2080 Ti on this workload
 (~250 specs/s), and BASELINE.json's stated target is >= 2x A100/chip
 => 500 specs/s. vs_baseline = value / 500.
+
+The measured number sustains 78.5 TFLOP/s = 41% of this chip's delivered
+matmul peak (188 TFLOP/s measured at the model's own matmul shapes);
+PARITY.md "Performance notes" carries the full per-stage budget, the MFU
+derivation, and the A/B'd dead ends (flash attention 9x slower at seq 474,
+bf16 softmax neutral, remat slower). Hitting vs_baseline 1.0 would need
+71% of clean matmul peak sustained through every non-matmul stage — not
+reachable for this model/dtype mix on one chip.
 """
 
 import json
