@@ -105,6 +105,9 @@ class TrainerConfig:
     # .npy under checkpoint_dir (the reference logs the first 5 steps'
     # spectrogram images to wandb, ex_audioset.py:161-167)
     log_every_steps: int = 50
+    log_grad_norm: bool = False  # per-step global gradient norm in the
+    # step metrics (the reference's wandb.watch gradient logging,
+    # ex_audioset.py:344-346, reduced to a scalar)
     n_data: Optional[int] = None  # mesh axes; default all devices on data
     n_model: int = 1
     seed: int = 0

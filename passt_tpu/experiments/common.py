@@ -275,6 +275,7 @@ class Experiment:
             use_mixup=cfg.trainer.use_mixup,
             mixup_alpha=cfg.trainer.mixup_alpha,
             jit=runtime is None,
+            log_grad_norm=cfg.trainer.log_grad_norm,
         )
         if runtime is not None:
             state = runtime.shard_state(state)

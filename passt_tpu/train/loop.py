@@ -309,9 +309,11 @@ def fit(
                 n_batches += 1
                 pending_loss = metrics["loss"]
                 if (i + 1) % log_every_steps == 0:
-                    logger.log(
-                        {"epoch": epoch, "step": int(state.step), "loss": float(pending_loss)}
-                    )
+                    row = {"epoch": epoch, "step": int(state.step), "loss": float(pending_loss)}
+                    for k, v in metrics.items():  # extra step metrics
+                        if k != "loss":           # (e.g. grad_norm)
+                            row[k] = float(v)
+                    logger.log(row)
         except KeyboardInterrupt:
             # Mid-epoch state is NOT checkpointed: epoch checkpoints are the
             # resume points (the per-epoch sampler reseed makes mid-epoch

@@ -103,6 +103,7 @@ def make_train_step(
     input_tdim: Optional[int] = None,
     donate: bool = True,
     jit: bool = True,
+    log_grad_norm: bool = False,
 ):
     """Build the jitted train step.
 
@@ -146,6 +147,10 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         metrics = {"loss": loss}
+        if log_grad_norm:
+            # gradient observability (the reference's wandb.watch gradient
+            # logging, ex_audioset.py:344-346, as a scalar global norm)
+            metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     if not jit:

@@ -49,6 +49,7 @@ def _setup(rng_np):
     return cfg, tx, model, state, step, ev, batches
 
 
+@pytest.mark.slow
 def test_fit_checkpoint_and_resume(tmp_path, rng_np):
     cfg, tx, model, state, step, ev, batches = _setup(rng_np)
     ckpt = str(tmp_path / "ckpt")
@@ -95,6 +96,7 @@ def test_fit_checkpoint_and_resume(tmp_path, rng_np):
     assert int(res2.state.step) == 8
 
 
+@pytest.mark.slow
 def test_lr_logged(rng_np):
     cfg, tx, model, state, step, ev, batches = _setup(rng_np)
     from passt_tpu.train.steps import make_schedule
@@ -135,6 +137,7 @@ def test_verbose_shapes_prints(capsys):
     assert "patch_embed" in out and "final sequence" in out
 
 
+@pytest.mark.slow
 def test_fit_interrupt_saves_checkpoint(tmp_path, rng_np):
     """KeyboardInterrupt mid-training saves a resumable checkpoint."""
     cfg, tx, model, state, step, ev, batches = _setup(rng_np)
@@ -167,6 +170,7 @@ def test_fit_interrupt_saves_checkpoint(tmp_path, rng_np):
     assert int(restored.step) == 2
 
 
+@pytest.mark.slow
 def test_spectrogram_dump(tmp_path, rng_np):
     """dump_spectrograms=1 with 2 batches x 2 epochs: the global-step gate
     must stop after the first step and never re-fire."""

@@ -25,6 +25,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow
 def test_pt_file_port_round_trip(tmp_path, rng_np):
     import torch
 

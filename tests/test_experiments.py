@@ -117,6 +117,7 @@ def _tiny_model_cfg(cfg):
 
 
 @pytest.mark.parametrize("name", ["audioset", "esc50", "openmic", "fsd50k"])
+@pytest.mark.slow
 def test_experiment_mini_train(name, tmp_path, rng_np, monkeypatch):
     exp = EXPERIMENTS[name]
     classes = exp.default_config.model.n_classes
@@ -146,6 +147,7 @@ def test_experiment_mini_train(name, tmp_path, rng_np, monkeypatch):
     assert f"swa_{key}" in hist[-1]  # SWA evaluated alongside
 
 
+@pytest.mark.slow
 def test_experiment_mini_train_on_mesh(tmp_path, rng_np, monkeypatch):
     """The reference's one-flag DDP activation (DDP=N env,
     ex_audioset.py:499-524), here `trainer.n_data=4 trainer.n_model=2`:
@@ -188,6 +190,7 @@ def test_experiment_mini_train_on_mesh(tmp_path, rng_np, monkeypatch):
     assert np.isfinite(hist2[0]["train_loss"])
 
 
+@pytest.mark.slow
 def test_fsd50k_dual_validation_per_epoch(tmp_path, rng_np, monkeypatch):
     """FSD50K validates on BOTH [valid, eval] every epoch with set-name
     prefixed metrics (reference ex_fsd50k.py:318-322, 220-260 logs
@@ -248,6 +251,7 @@ def test_predict_command(tmp_path, rng_np, monkeypatch):
     assert data["names"].shape == (24,)
 
 
+@pytest.mark.slow
 def test_model_speed_test_smoke(monkeypatch):
     import dataclasses
 
@@ -268,6 +272,7 @@ def test_model_speed_test_smoke(monkeypatch):
     assert res["specs_per_second"] > 0
 
 
+@pytest.mark.slow
 def test_evaluate_ensemble_command(tmp_path, rng_np, monkeypatch):
     """End-to-end ensemble evaluation with tiny models and ported-npz
     checkpoints on synthetic data."""

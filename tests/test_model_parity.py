@@ -45,6 +45,7 @@ def _build_pair(distilled=True, num_classes=527, tdim=998, stride=(10, 10), dept
 
 
 @pytest.mark.parametrize("distilled", [True, False])
+@pytest.mark.slow
 def test_forward_parity(distilled, rng_np):
     import torch
 
@@ -57,6 +58,7 @@ def test_forward_parity(distilled, rng_np):
     np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_forward_parity_full_geometry(rng_np):
     """The flagship AudioSet geometry: (1, 128, 998) -> 12x99 grid + 2 tokens."""
     import torch
@@ -70,6 +72,7 @@ def test_forward_parity_full_geometry(rng_np):
     assert logits.shape == (1, 527)
 
 
+@pytest.mark.slow
 def test_time_embed_crop_parity(rng_np):
     """Eval-mode inputs shorter than the time embedding use its prefix
     (reference passt.py:520-521)."""
@@ -83,6 +86,7 @@ def test_time_embed_crop_parity(rng_np):
     np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_head_dist_params_ported():
     """head_dist exists in checkpoints though unused in forward — the
     converter must carry it for round-trip fidelity."""
@@ -91,6 +95,7 @@ def test_head_dist_params_ported():
     np.testing.assert_allclose(np.asarray(params["head_dist"]["kernel"]).T, ref_w)
 
 
+@pytest.mark.slow
 def test_patchout_shapes_and_semantics():
     """Train-mode patchout: static sequence lengths, token count math
     (reference passt.py:531-553)."""
@@ -114,6 +119,7 @@ def test_patchout_shapes_and_semantics():
     assert not np.allclose(np.asarray(logits), np.asarray(logits2))
 
 
+@pytest.mark.slow
 def test_imagenet_pos_embed_adaptation():
     """ImageNet-style checkpoints (no time_new_pos_embed) go through the
     bicubic grid adaptation (reference passt.py:656-706)."""

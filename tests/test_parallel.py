@@ -42,6 +42,7 @@ def _batch(rng_np, b=8):
     return {"wave": jnp.asarray(waves), "target": jnp.asarray(targets)}
 
 
+@pytest.mark.slow
 def test_dp_step_matches_single_device(rng_np):
     cfg, mcfg, tx, model, state = _tiny()
     raw = make_train_step(model, tx, mcfg, use_mixup=False, donate=False, jit=False)
@@ -77,6 +78,7 @@ def test_tp_param_layouts():
     assert cls.sharding.spec == P()
 
 
+@pytest.mark.slow
 def test_dp_tp_train_step_executes(rng_np):
     cfg, mcfg, tx, model, state = _tiny()
     mesh = make_mesh(n_data=4, n_model=2)

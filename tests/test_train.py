@@ -215,6 +215,7 @@ def _tiny_cfg(**kw):
     )
 
 
+@pytest.mark.slow
 def test_mini_train_loss_decreases(rng_np):
     cfg = _tiny_cfg()
     from passt_tpu.ops.frontend import MelConfig

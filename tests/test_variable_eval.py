@@ -70,6 +70,7 @@ def test_exact_eval_preset():
     assert cfg.data.eval_pad_multiple_s == 0
 
 
+@pytest.mark.slow
 def test_padded_vs_exact_eval_ap_delta(tmp_path, rng_np):
     """Bound the metric impact of padded variable-length eval vs the
     reference's exact-length bs=1 protocol (fsd50k/dataset.py:70-79):
