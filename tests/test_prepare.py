@@ -1,6 +1,7 @@
 """Offline-prep metadata parsing tests (synthetic CSVs)."""
 
 import numpy as np
+import pytest
 
 from passt_tpu.data.prepare.metadata import (
     load_class_labels_indices,
@@ -63,3 +64,61 @@ def test_openmic_targets():
     t = openmic_targets(y_true, y_mask)
     assert t.shape == (2, 4)
     np.testing.assert_allclose(t[0], [0.9, 0.1, 1, 0])
+
+
+def test_transcode_tool_with_stub_ffmpeg(tmp_path, monkeypatch):
+    """scripts/transcode_to_mp3.py reproduces the reference's ffmpeg
+    contract (convert_to_mp3.py:30): flags, 32 kHz, .wav -> .mp3 naming.
+    ffmpeg itself is stubbed (none in this image)."""
+    import os
+    import stat
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import transcode_to_mp3 as t
+
+    cmd = t.ffmpeg_cmd("/a/x.wav", "/b/x.mp3", 32000)
+    assert cmd[0] == "ffmpeg" and "-n" in cmd and "mp3" in cmd
+    assert cmd[cmd.index("-ar") + 1] == "32000"
+    assert cmd[cmd.index("-i") + 1] == "/a/x.wav" and cmd[-1] == "/b/x.mp3"
+
+    # stub ffmpeg: records its argv and writes the output file
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    stub = bindir / "ffmpeg"
+    stub.write_text(
+        "#!/bin/sh\n"
+        f'echo "$@" >> {tmp_path}/calls.txt\n'
+        'for last; do :; done\n'
+        'echo fake > "$last"\n'
+    )
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    src = tmp_path / "audios" / "balanced_train_segments"
+    src.mkdir(parents=True)
+    for name in ("a.wav", "b.wav"):
+        (src / name).write_bytes(b"RIFF")
+    out = tmp_path / "mp3s"
+    rc = t.transcode_tree(
+        str(tmp_path / "audios"), str(out),
+        ["balanced_train_segments"], workers=2, sample_rate=32000,
+    )
+    assert rc == 0
+    made = sorted(p.name for p in (out / "balanced_train_segments").glob("*.mp3"))
+    assert made == ["a.mp3", "b.mp3"]
+    calls = (tmp_path / "calls.txt").read_text()
+    assert "-codec:a mp3 -ar 32000" in calls
+
+
+def test_transcode_tool_missing_ffmpeg(tmp_path, monkeypatch):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import transcode_to_mp3 as t
+
+    monkeypatch.setenv("PATH", str(tmp_path))  # nothing on PATH
+    with pytest.raises(SystemExit, match="ffmpeg not found"):
+        t.transcode_tree(str(tmp_path), str(tmp_path / "o"), [""], 1, 32000)
