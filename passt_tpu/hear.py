@@ -109,3 +109,24 @@ class Predictor:
         feats = feats.reshape(b, len(centers), -1)
         timestamps = jnp.asarray(centers / sr * 1000.0)
         return feats, timestamps
+
+
+# ---------------------------------------------------------------------------
+# hear21passt drop-in module surface (the HEAR benchmark entry points:
+# ``load_model`` / ``get_scene_embeddings`` / ``get_timestamp_embeddings``;
+# reference README.md:48-65 and the hear-eval-kit API contract).
+# ---------------------------------------------------------------------------
+def load_model(model_file_path: Optional[str] = None, **kwargs) -> Predictor:
+    """HEAR entry point: build the inference model. ``model_file_path`` is
+    a locally ported checkpoint (.npz / .pt); None = random init."""
+    return Predictor.create(checkpoint_path=model_file_path or None, **kwargs)
+
+
+def get_scene_embeddings(audio, model: Predictor) -> jnp.ndarray:
+    """HEAR entry point: [B, T] audio -> [B, D] clip embeddings."""
+    return model.scene_embeddings(audio)
+
+
+def get_timestamp_embeddings(audio, model: Predictor):
+    """HEAR entry point: [B, T] audio -> ([B, N, D], [N] ms timestamps)."""
+    return model.timestamp_embeddings(audio)

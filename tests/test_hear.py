@@ -49,3 +49,24 @@ def test_timestamp_embeddings(tiny_predictor, rng_np):
     ts = np.asarray(ts)
     assert (np.diff(ts) > 0).all()  # monotonically increasing, in ms
     assert ts[0] >= 0 and ts[-1] <= 1000.0
+
+
+def test_hear_module_entry_points(rng_np):
+    """hear21passt drop-in surface: load_model / get_scene_embeddings /
+    get_timestamp_embeddings (hear-eval-kit API contract)."""
+    from passt_tpu import hear
+
+    spec = registry.ARCHS["passt_s_swa_p16_128_ap476"]
+    tiny = dataclasses.replace(spec, depth=2, embed_dim=64, num_heads=4)
+    old = registry.ARCHS["passt_s_swa_p16_128_ap476"]
+    registry.ARCHS["passt_s_swa_p16_128_ap476"] = tiny
+    try:
+        m = hear.load_model(dtype="float32", input_tdim=98)
+        wave = rng_np.standard_normal((2, 32000)).astype(np.float32)
+        emb = hear.get_scene_embeddings(wave, m)
+        assert emb.shape == (2, 64)
+        ts_emb, ts = hear.get_timestamp_embeddings(wave, m)
+        assert ts_emb.shape[0] == 2 and ts_emb.shape[2] == 64
+        assert ts_emb.shape[1] == len(ts)
+    finally:
+        registry.ARCHS["passt_s_swa_p16_128_ap476"] = old
