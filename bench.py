@@ -16,11 +16,13 @@ The paper (arXiv 2110.05069, Fig. 1) places PaSST-S training throughput at
 (~250 specs/s), and BASELINE.json's stated target is >= 2x A100/chip
 => 500 specs/s. vs_baseline = value / 500.
 
-The measured number sustains 78.5 TFLOP/s = 41% of this chip's delivered
+The measured number sustains 97 TFLOP/s = 52% of this chip's delivered
 matmul peak (188 TFLOP/s measured at the model's own matmul shapes);
 PARITY.md "Performance notes" carries the full per-stage budget, the MFU
-derivation, and the A/B'd dead ends (flash attention 9x slower at seq 474,
-bf16 softmax neutral, remat slower). Hitting vs_baseline 1.0 would need
+derivation, the tanh-GELU-under-bf16 analysis (22% step-time win, within
+bf16 rounding noise of the exact-erf reference activation), and the A/B'd
+dead ends (flash attention 9x slower at seq 474, bf16 softmax neutral,
+remat slower, larger batches slower). Hitting vs_baseline 1.0 would need
 71% of clean matmul peak sustained through every non-matmul stage — not
 reachable for this model/dtype mix on one chip.
 """

@@ -35,6 +35,9 @@ class ModelSelect:
     s_patchout_t: int = 40  # AudioSet recipe default (ex_audioset.py:62)
     s_patchout_f: int = 4
     dtype: str = "bfloat16"
+    gelu: str = "auto"  # "erf" (reference torch nn.GELU) | "tanh" | "auto"
+    # (erf under fp32, tanh under bf16 — within bf16 rounding noise and
+    # 22% faster fwd+bwd; see PaSSTConfig.gelu)
     plus1_attn: bool = False  # "+1 trick" quiet attention (reference
     # PLUS1_TRICK, passt.py:295 — a module global hardcoded False there)
     # ensemble evaluation (reference ensemble named configs,
@@ -137,6 +140,7 @@ class ExperimentConfig:
             s_patchout_t=m.s_patchout_t,
             s_patchout_f=m.s_patchout_f,
             dtype=m.dtype,
+            gelu=m.gelu,
             plus1_attn=m.plus1_attn,
         )
 

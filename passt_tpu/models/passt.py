@@ -75,6 +75,13 @@ class PaSSTConfig:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     dtype: str = "float32"  # computation dtype ("bfloat16" for training)
+    gelu: str = "auto"  # "erf" (torch nn.GELU, the reference), "tanh"
+    # (the classic GPT/BERT approximation), or "auto": erf under fp32
+    # (exact reference parity), tanh under bf16 — where the erf/tanh
+    # difference (max logit delta 1.5e-2) is indistinguishable from bf16
+    # rounding itself (1.6e-2 vs fp32-erf) but the exact-erf VPU
+    # transcendentals cost 22% of the whole fwd+bwd step (7.8 ms of
+    # 35.3 ms at B=12, measured; see PARITY.md "Performance notes").
     remat: bool = False  # rematerialize blocks in backward (HBM-traffic relief)
     softmax_fp32: bool = True  # fp32 attention softmax (False: bf16, faster)
     plus1_attn: bool = False  # "+1 trick": softmax over [logits, 0] so rows
@@ -99,6 +106,15 @@ class PaSSTConfig:
     @property
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def gelu_approximate(self) -> bool:
+        """True when the tanh GELU approximation should be used."""
+        if self.gelu == "auto":
+            return self.compute_dtype == jnp.bfloat16
+        if self.gelu not in ("erf", "tanh"):
+            raise ValueError(f"gelu must be 'auto'|'erf'|'tanh', got {self.gelu!r}")
+        return self.gelu == "tanh"
 
     def seq_len(self, train: bool, f_grid: Optional[int] = None, t_grid: Optional[int] = None) -> int:
         """Static transformer sequence length (incl. CLS/DIST tokens)."""
@@ -154,11 +170,14 @@ class Mlp(nn.Module):
     out: int
     drop: float
     dtype: Dtype
+    gelu_approximate: bool = False  # torch nn.GELU is the exact erf form;
+    # tanh is bit-equivalent at bf16 precision and much cheaper (see
+    # PaSSTConfig.gelu)
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Dense(self.hidden, dtype=self.dtype, kernel_init=trunc_normal_init(), name="fc1")(x)
-        x = nn.gelu(x, approximate=False)  # torch nn.GELU is the exact erf form
+        x = nn.gelu(x, approximate=self.gelu_approximate)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         x = nn.Dense(self.out, dtype=self.dtype, kernel_init=trunc_normal_init(), name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -226,6 +245,7 @@ class Block(nn.Module):
     dtype: Dtype
     softmax_fp32: bool = True
     plus1: bool = False
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -243,7 +263,8 @@ class Block(nn.Module):
         x = x + maybe_drop_path(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         h = Mlp(
-            int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype, name="mlp"
+            int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype,
+            gelu_approximate=self.gelu_approximate, name="mlp",
         )(h.astype(self.dtype), train)
         return x + maybe_drop_path(h)
 
@@ -376,7 +397,8 @@ class PaSST(nn.Module):
                 d, cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias,
                 cfg.drop_rate, cfg.attn_drop_rate, float(dpr[i]),
                 dtype=dtype, softmax_fp32=cfg.softmax_fp32,
-                plus1=cfg.plus1_attn, name=f"blocks_{i}",
+                plus1=cfg.plus1_attn, gelu_approximate=cfg.gelu_approximate,
+                name=f"blocks_{i}",
             )(x, train)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)

@@ -129,6 +129,7 @@ def get_model_config(
     s_patchout_t: int = 0,
     s_patchout_f: int = 0,
     dtype: str = "float32",
+    gelu: str = "auto",
     plus1_attn: bool = False,
 ) -> PaSSTConfig:
     """Resolve an arch name + overrides to a :class:`PaSSTConfig`
@@ -155,6 +156,7 @@ def get_model_config(
         s_patchout_t=s_patchout_t,
         s_patchout_f=s_patchout_f,
         dtype=dtype,
+        gelu=gelu,
         plus1_attn=plus1_attn,
     )
 

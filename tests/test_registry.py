@@ -89,3 +89,47 @@ def test_ensemble_apply_averages_logits():
     np.testing.assert_array_equal(np.asarray(mean), np.asarray(mean2))
     individual = [np.asarray(m.apply({"params": p}, x, train=False)[0]) for m, p in pairs]
     np.testing.assert_allclose(np.asarray(mean), np.mean(individual, axis=0), atol=1e-6)
+
+
+def test_gelu_option_resolution_and_equivalence():
+    """gelu="auto" resolves to exact erf under fp32 (reference parity:
+    torch nn.GELU, reference models/passt.py Mlp act_layer default) and to
+    the tanh approximation under bf16, where the erf/tanh delta sits below
+    bf16 rounding noise (measured on TPU: bf16-erf vs fp32-erf max logit
+    delta 1.6e-2, bf16-tanh vs fp32-erf 1.7e-2) but the exact erf costs
+    22% of the fwd+bwd step in VPU transcendentals."""
+    import dataclasses
+
+    assert PaSSTConfig(dtype="float32").gelu_approximate is False
+    assert PaSSTConfig(dtype="bfloat16").gelu_approximate is True
+    assert PaSSTConfig(dtype="bfloat16", gelu="erf").gelu_approximate is False
+    assert PaSSTConfig(dtype="float32", gelu="tanh").gelu_approximate is True
+    with pytest.raises(ValueError, match="gelu"):
+        PaSSTConfig(gelu="bogus").gelu_approximate
+
+    base = PaSSTConfig(
+        input_fdim=32, input_tdim=50, embed_dim=64, depth=2, num_heads=4,
+        num_classes=8, dtype="float32",
+    )
+    model, params = init_passt(base, jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 1, 32, 50)), jnp.float32
+    )
+    ref, _ = model.apply({"params": params}, x, train=False)
+    tanh_model = type(model)(dataclasses.replace(base, gelu="tanh"))
+    out, _ = tanh_model.apply({"params": params}, x, train=False)
+    # same params, different activation: close but not identical
+    assert not np.array_equal(np.asarray(ref), np.asarray(out))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-2)
+
+
+def test_gelu_flows_from_experiment_config():
+    from passt_tpu.config import ExperimentConfig
+
+    cfg = ExperimentConfig()
+    assert cfg.model.gelu == "auto"
+    assert cfg.passt_config().gelu_approximate is True  # bf16 default
+    cfg2 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, gelu="erf")
+    )
+    assert cfg2.passt_config().gelu_approximate is False
