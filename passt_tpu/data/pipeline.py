@@ -218,6 +218,18 @@ class Prefetcher:
                         raise self.error
                     raise StopIteration
         if item is self._DONE:
+            # Join the worker before ending iteration. DONE is enqueued a
+            # few bytecodes before the worker's frame actually unwinds; a
+            # consumer that receives DONE and immediately exits the process
+            # starts interpreter finalization while the daemon thread is
+            # mid-teardown, and CPython then kills it at its next GIL
+            # acquisition with whatever locks it holds — reproduced as a
+            # deterministic futex deadlock in finalization whenever the
+            # worker's dataset reads held an HDF5 handle (process hangs
+            # after printing its last line; 3/3 without this join, 0/3
+            # with). The worker has already finished producing, so the join
+            # returns immediately in the non-broken case.
+            self.thread.join(timeout=5.0)
             if self.error is not None:
                 raise self.error
             raise StopIteration

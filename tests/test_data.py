@@ -2,6 +2,8 @@
 wavmix, the class-balanced weighted sampler with rank sharding + epoch
 reseed, and the loader/prefetcher."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -352,3 +354,63 @@ def test_native_builder_wavmix_matches_numpy_plan(synth_hdf5):
     ref = default_collate([mixed[i] for i in idxs])
     np.testing.assert_allclose(nat["target"], ref["target"], atol=1e-6)
     np.testing.assert_allclose(nat["wave"], ref["wave"], atol=1e-5)
+
+
+def test_prefetcher_joins_worker_on_done():
+    """DONE must be followed by a worker join BEFORE StopIteration: a
+    consumer that receives DONE and immediately exits the process otherwise
+    races interpreter finalization against the daemon worker's last few
+    bytecodes — CPython kills the thread at its next GIL acquisition with
+    whatever locks it holds, which deadlocked finalization whenever the
+    iterator's dataset reads held an HDF5 handle (reproduced: the
+    test_loaders_train_speed CLI printed its results then hung forever on a
+    futex; deterministic 3/3 without the join, 0/3 with)."""
+    from passt_tpu.data import Prefetcher
+
+    def gen():
+        yield from range(5)
+
+    it = Prefetcher(gen(), depth=1)
+    assert list(it) == [0, 1, 2, 3, 4]
+    assert not it.thread.is_alive()  # joined by the DONE path, not racing
+
+    # error path gives the same guarantee
+    def boom():
+        yield 1
+        raise RuntimeError("boom")
+
+    it2 = Prefetcher(boom(), depth=1)
+    assert next(it2) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it2)
+    assert not it2.thread.is_alive()
+
+
+def test_loader_process_exits_cleanly(synth_hdf5):
+    """End-to-end exit-hang regression: a subprocess that drains a
+    prefetch-threaded DataLoader over an HDF5 dataset must terminate by
+    itself (the bug hung the interpreter in C-level finalization AFTER the
+    last Python line ran, so it is only observable across a process
+    boundary)."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    code = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repr(os.getcwd())})
+        from passt_tpu.data import HDF5AudioDataset
+        from passt_tpu.data.pipeline import DataLoader
+        ds = HDF5AudioDataset({repr(synth_hdf5)}, classes_num=16, clip_length=2)
+        loader = DataLoader(ds, batch_size=4, sampler=list(range(len(ds))), prefetch=2)
+        loader.set_epoch(0)
+        n = sum(len(b["wave"]) for b in loader)
+        print("drained", n)
+        """
+    )
+    proc = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "drained" in proc.stdout
