@@ -258,6 +258,8 @@ def fit(
     host_step = int(state.step)
     for epoch in range(start_epoch, max_epochs):
         t_epoch = time.time()
+        t_window = t_epoch  # for the it/s rate in step logs (the
+        # reference's tqdm progress bar shows the same live rate)
         n_batches = 0
         pending_loss = None
         try:
@@ -309,7 +311,10 @@ def fit(
                 n_batches += 1
                 pending_loss = metrics["loss"]
                 if (i + 1) % log_every_steps == 0:
+                    now = time.time()
                     row = {"epoch": epoch, "step": int(state.step), "loss": float(pending_loss)}
+                    row["it_per_s"] = round(log_every_steps / max(now - t_window, 1e-9), 3)
+                    t_window = now
                     for k, v in metrics.items():  # extra step metrics
                         if k != "loss":           # (e.g. grad_norm)
                             row[k] = float(v)
@@ -336,6 +341,8 @@ def fit(
             "step": int(state.step),
             "epoch_time_s": round(epoch_time, 2),
         }
+        if n_batches:
+            record["it_per_s"] = round(n_batches / max(epoch_time, 1e-9), 3)
         if pending_loss is not None:
             record["train_loss"] = float(pending_loss)
         if lr_schedule is not None:
