@@ -32,6 +32,10 @@ def __getattr__(name):
         from passt_tpu.hear import Predictor
 
         return Predictor
+    if name in ("export_inference", "load_exported"):
+        from passt_tpu import export
+
+        return getattr(export, name)
     if name in ("MelConfig", "log_mel_spectrogram"):
         from passt_tpu import ops
 

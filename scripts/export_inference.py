@@ -1,0 +1,55 @@
+"""Export a PaSST inference artifact (StableHLO via jax.export).
+
+One file, weights baked in, symbolic batch, callable from any JAX runtime
+without passt_tpu installed — the TPU-native counterpart of shipping a
+hear21passt checkpoint (reference README.md:48-65).
+
+    python scripts/export_inference.py --arch passt_s_swa_p16_128_ap476 \
+        --checkpoint ported/passt_s_swa_p16_128_ap476.npz \
+        --out serving/passt_s --platforms tpu cpu
+
+    # consume (only jax needed):
+    from passt_tpu.export import load_exported
+    logits, features = load_exported("serving/passt_s")(wave_batch)
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--arch", default="passt_s_swa_p16_128_ap476")
+    p.add_argument("--checkpoint", default=None, help=".npz/.pt ported weights; omit for random init (smoke/debug)")
+    p.add_argument("--out", required=True, help="output prefix; writes <out>.passt.hlo + <out>.passt.json")
+    p.add_argument("--platforms", nargs="+", default=["tpu"], choices=["tpu", "cpu", "cuda", "rocm"])
+    p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument("--batch", default="b", help='symbolic dim name (default "b" = any batch) or a fixed int')
+    p.add_argument("--n-classes", type=int, default=None)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    args = p.parse_args(argv)
+
+    from passt_tpu.export import export_inference
+
+    overrides = {}
+    if args.n_classes is not None:
+        overrides["n_classes"] = args.n_classes
+    batch = int(args.batch) if args.batch.isdigit() else args.batch
+    artifact, manifest = export_inference(
+        args.arch,
+        args.out,
+        checkpoint_path=args.checkpoint,
+        platforms=args.platforms,
+        seconds=args.seconds,
+        dtype=args.dtype,
+        batch=batch,
+        **overrides,
+    )
+    print(f"wrote {artifact} ({os.path.getsize(artifact) / 1e6:.1f} MB) and {manifest}")
+
+
+if __name__ == "__main__":
+    main()
