@@ -15,11 +15,14 @@ Produces ``<out>.passt.hlo`` (the serialized function) plus
 platforms, so a serving layer can validate inputs without deserializing).
 
 CLI: ``python scripts/export_inference.py --arch ... --out model`` (see
-that script for the push-button path); library surface below.
+that script for the push-button path); library surface below. The
+inference function itself is :func:`passt_tpu.hear.make_inference_fn` —
+the same contract the live Predictor serves.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Optional, Sequence, Tuple
@@ -27,25 +30,11 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from passt_tpu.hear import default_inference_mel_cfg, make_inference_fn
+from passt_tpu.ops.frontend import MelConfig
+
 MANIFEST_SUFFIX = ".passt.json"
 ARTIFACT_SUFFIX = ".passt.hlo"
-
-
-def make_inference_fn(model, mel_cfg, seconds: float, input_tdim: int):
-    """waveform [B, seconds*sr] float32 -> (logits [B, C], features [B, D]);
-    eval-mode mel (no SpecAugment / mel-range jitter) + eval-mode forward
-    (no patchout) — the reference's inference contract (hear21passt
-    ``model(wave) -> logits``, README.md:48-65)."""
-    from passt_tpu.ops.frontend import log_mel_spectrogram
-
-    def infer(params, wave):
-        mel = log_mel_spectrogram(wave, mel_cfg, train=False)
-        logits, features = model.apply(
-            {"params": params}, mel[:, None, :, :input_tdim], train=False
-        )
-        return logits, features
-
-    return infer
 
 
 def export_inference(
@@ -53,28 +42,42 @@ def export_inference(
     out_path: str,
     checkpoint_path: Optional[str] = None,
     platforms: Sequence[str] = ("tpu",),
-    seconds: float = 10.0,
+    seconds: Optional[float] = None,
     dtype: str = "float32",
     batch: Optional[str] = "b",
     rng: Optional[jax.Array] = None,
-    mel_method: str = "matmul",
+    mel_cfg: Optional[MelConfig] = None,
     **overrides,
 ) -> Tuple[str, str]:
     """Export one registry arch (optionally with ported weights) to a
-    serialized StableHLO artifact + JSON manifest. ``batch="b"`` exports a
-    symbolic batch dimension (one artifact, any batch size); pass an int
-    for a fixed-batch artifact. Returns (artifact_path, manifest_path)."""
-    from passt_tpu.models.registry import get_model, get_model_config
+    serialized StableHLO artifact + JSON manifest.
 
+    Arch-aware defaults keep the artifact faithful to the checkpoint:
+    ``input_tdim`` comes from the arch spec (so the 20/30-sec and
+    stfthop100/160 zoo entries export at their trained geometry, not the
+    998-frame default), ``mel_cfg`` from
+    :func:`passt_tpu.hear.default_inference_mel_cfg` (recipe aug ranges +
+    the arch's STFT hop), and ``seconds`` from input_tdim·hop/sr.
+    ``batch="b"`` exports a symbolic batch dimension (one artifact, any
+    batch size); pass an int for a fixed-batch artifact.
+    Returns (artifact_path, manifest_path)."""
+    from passt_tpu.models.passt import init_passt
+    from passt_tpu.models.registry import ARCHS, get_model_config
+
+    if "input_tdim" not in overrides and arch in ARCHS:
+        overrides["input_tdim"] = ARCHS[arch].input_tdim
+    # resolve the config ONCE and build from it directly, so the manifest
+    # metadata and the exported weights cannot diverge
     cfg = get_model_config(arch, dtype=dtype, **overrides)
-    model, params = get_model(
-        arch,
-        pretrained=checkpoint_path is not None,
-        checkpoint_path=checkpoint_path,
-        rng=rng,
-        dtype=dtype,
-        **overrides,
-    )
+    model, params = init_passt(cfg, rng if rng is not None else jax.random.PRNGKey(0))
+    if checkpoint_path is not None:
+        from passt_tpu.models.pretrained import load_pretrained_params
+
+        params = load_pretrained_params(checkpoint_path, cfg, params)
+    if mel_cfg is None:
+        mel_cfg = dataclasses.replace(
+            default_inference_mel_cfg(arch), n_mels=cfg.input_fdim
+        )
     return export_model(
         model,
         params,
@@ -83,7 +86,7 @@ def export_inference(
         platforms=platforms,
         seconds=seconds,
         batch=batch,
-        mel_method=mel_method,
+        mel_cfg=mel_cfg,
         manifest_extra={"arch": arch, "pretrained": checkpoint_path is not None},
     )
 
@@ -94,28 +97,34 @@ def export_model(
     cfg,
     out_path: str,
     platforms: Sequence[str] = ("tpu",),
-    seconds: float = 10.0,
+    seconds: Optional[float] = None,
     batch: Optional[str] = "b",
-    mel_method: str = "matmul",
+    mel_cfg: Optional[MelConfig] = None,
     manifest_extra: Optional[dict] = None,
 ) -> Tuple[str, str]:
     """Lower + serialize an already-built (model, params). ``cfg`` is its
     :class:`~passt_tpu.models.passt.PaSSTConfig` (audio-contract metadata).
     Patchout, if configured, is train-only and never enters the exported
-    eval graph."""
+    eval graph. ``seconds=None`` derives the wave length from the model's
+    time grid (input_tdim · hop / sr)."""
     from jax import export as jexport
 
-    from passt_tpu.ops.frontend import MelConfig
-
-    # The artifact must deserialize on any JAX runtime: the portable
-    # matmul-STFT frontend (one MXU matmul, no custom calls) is the export
-    # default — the fused Pallas mel kernel lowers to a Mosaic custom call
-    # whose serialization ties the artifact to matching kernel versions,
-    # for ~0.2 ms/batch of mel time that serving will not miss.
-    mel_cfg = MelConfig(stft_method=mel_method, n_mels=cfg.input_fdim)
+    if mel_cfg is None:
+        mel_cfg = MelConfig(
+            n_mels=cfg.input_fdim, fmin_aug_range=10, fmax_aug_range=2000
+        )
+    if mel_cfg.stft_method == "auto":
+        # The artifact must deserialize on any JAX runtime: the portable
+        # matmul-STFT frontend (one MXU matmul, no custom calls) replaces
+        # "auto" — the fused Pallas mel kernel lowers to a Mosaic custom
+        # call whose serialization ties the artifact to matching kernel
+        # versions, for ~0.2 ms/batch of mel time serving will not miss.
+        mel_cfg = dataclasses.replace(mel_cfg, stft_method="matmul")
     sr = mel_cfg.sr
+    if seconds is None:
+        seconds = cfg.input_tdim * mel_cfg.hopsize / sr
     n_samples = int(seconds * sr)
-    infer = make_inference_fn(model, mel_cfg, seconds, cfg.input_tdim)
+    infer = make_inference_fn(model, mel_cfg, cfg.input_tdim)
 
     # Bake the weights into the artifact: serving needs one file, not a
     # checkpoint + a framework. jit-with-closure captures them as constants.
@@ -126,7 +135,10 @@ def export_model(
     if isinstance(batch, str):
         (b_dim,) = jexport.symbolic_shape(batch)
     else:
-        b_dim = int(batch)
+        batch = int(batch)
+        if batch < 1:
+            raise ValueError(f"fixed batch must be >= 1, got {batch}")
+        b_dim = batch
     spec = jax.ShapeDtypeStruct((b_dim, n_samples), jnp.float32)
     exported = jexport.export(fn, platforms=tuple(platforms))(spec)
     blob = exported.serialize()
@@ -143,6 +155,12 @@ def export_model(
                 "platforms": list(exported.platforms),
                 "sample_rate": sr,
                 "seconds": seconds,
+                "mel": {
+                    "n_mels": mel_cfg.n_mels,
+                    "hopsize": mel_cfg.hopsize,
+                    "fmin_aug_range": mel_cfg.fmin_aug_range,
+                    "fmax_aug_range": mel_cfg.fmax_aug_range,
+                },
                 "input": {
                     "shape": [None if isinstance(batch, str) else int(batch), n_samples],
                     "dtype": "float32",

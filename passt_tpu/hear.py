@@ -22,6 +22,37 @@ from passt_tpu.models.passt import PaSST, PaSSTConfig, init_passt
 from passt_tpu.ops.frontend import MelConfig, log_mel_spectrogram
 
 
+def make_inference_fn(model, mel_cfg: MelConfig, input_tdim: int):
+    """waveform [B, T] float32 -> (logits [B, C], features [B, D]):
+    eval-mode mel (no SpecAugment / mel-range jitter) + eval-mode forward
+    (no patchout) — the single inference contract shared by the Predictor
+    and the jax.export serving path (reference hear21passt
+    ``model(wave) -> logits``, README.md:48-65)."""
+
+    def infer(params, wave):
+        mel = log_mel_spectrogram(wave, mel_cfg, train=False)
+        logits, features = model.apply(
+            {"params": params}, mel[:, None, :, :input_tdim], train=False
+        )
+        return logits, features
+
+    return infer
+
+
+def default_inference_mel_cfg(arch: str) -> MelConfig:
+    """The frontend the published checkpoints were trained/evaluated with:
+    the AudioSet recipe overrides fmin_aug_range=10, fmax_aug_range=2000
+    (reference ex_audioset.py:64-69; the hear21passt package builds its
+    AugmentMelSTFT with the same values), and eval-mode fmax is
+    sr//2 - fmax_aug_range//2 = 15000 — the plain MelConfig defaults would
+    silently shift it to 15500. stfthop archs additionally ran hop 100/160
+    (reference passt.py:219-226)."""
+    from passt_tpu.models.registry import ARCHS
+
+    hop = ARCHS[arch].hopsize if arch in ARCHS else 320
+    return MelConfig(hopsize=hop, fmin_aug_range=10, fmax_aug_range=2000)
+
+
 @dataclasses.dataclass
 class Predictor:
     """Waveform-in inference bundle.
@@ -42,11 +73,14 @@ class Predictor:
         cls,
         arch: str = "passt_s_swa_p16_128_ap476",
         checkpoint_path: Optional[str] = None,
-        mel_cfg: MelConfig = MelConfig(),
+        mel_cfg: Optional[MelConfig] = None,
         dtype: str = "bfloat16",
         **overrides,
     ) -> "Predictor":
         from passt_tpu.models.registry import get_model
+
+        if mel_cfg is None:
+            mel_cfg = default_inference_mel_cfg(arch)
 
         model, params = get_model(
             arch=arch,
@@ -59,17 +93,9 @@ class Predictor:
 
     def _fn(self):
         if self._apply is None:
-            model, mel_cfg = self.model, self.mel_cfg
-            tdim = model.cfg.input_tdim
-
-            @jax.jit
-            def apply(params, wave):
-                mel = log_mel_spectrogram(wave, mel_cfg, train=False)
-                logits, feats = model.apply(
-                    {"params": params}, mel[:, None, :, :tdim], train=False
-                )
-                return logits, feats
-
+            apply = jax.jit(
+                make_inference_fn(self.model, self.mel_cfg, self.model.cfg.input_tdim)
+            )
             object.__setattr__(self, "_apply", apply)
         return self._apply
 

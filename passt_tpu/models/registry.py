@@ -87,6 +87,9 @@ class ArchSpec:
     expected_stride: Optional[Tuple[int, int]] = (10, 10)
     pretrained_name: Optional[str] = None  # key into DEFAULT_CFGS
     input_tdim: int = 998  # nominal time grid the checkpoint was trained with
+    hopsize: int = 320  # STFT hop the checkpoint's frontend used (the
+    # stfthop100/160 zoo entries were trained on higher temporal
+    # resolution, reference passt.py:219-226)
 
 
 #: Arch name -> spec; the same surface as the reference builder functions
@@ -109,10 +112,10 @@ ARCHS: Dict[str, ArchSpec] = {
     # high-temporal-resolution STFT checkpoints (reference passt.py:219-226:
     # hop 100 -> 10 s = 3200 frames, hop 160 -> 2000 frames)
     "passt_s_swa_f128_stfthop100_p16_s10_ap473": ArchSpec(
-        pretrained_name="passt_s_swa_f128_stfthop100_p16_s10_ap473", input_tdim=3200
+        pretrained_name="passt_s_swa_f128_stfthop100_p16_s10_ap473", input_tdim=3200, hopsize=100
     ),
     "passt_s_swa_f128_stfthop160_p16_s10_ap473": ArchSpec(
-        pretrained_name="passt_s_swa_f128_stfthop160_p16_s10_ap473", input_tdim=2000
+        pretrained_name="passt_s_swa_f128_stfthop160_p16_s10_ap473", input_tdim=2000, hopsize=160
     ),
 }
 

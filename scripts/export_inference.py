@@ -26,8 +26,11 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None, help=".npz/.pt ported weights; omit for random init (smoke/debug)")
     p.add_argument("--out", required=True, help="output prefix; writes <out>.passt.hlo + <out>.passt.json")
     p.add_argument("--platforms", nargs="+", default=["tpu"], choices=["tpu", "cpu", "cuda", "rocm"])
-    p.add_argument("--seconds", type=float, default=10.0)
-    p.add_argument("--batch", default="b", help='symbolic dim name (default "b" = any batch) or a fixed int')
+    p.add_argument("--seconds", type=float, default=None,
+                   help="clip length; default = the arch's trained geometry (input_tdim*hop/sr)")
+    p.add_argument("--batch", default="b", help='symbolic dim name (default "b" = any batch) or a fixed positive int')
+    p.add_argument("--input-tdim", type=int, default=None,
+                   help="override the arch spec's time grid (rarely needed)")
     p.add_argument("--n-classes", type=int, default=None)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = p.parse_args(argv)
@@ -37,7 +40,16 @@ def main(argv=None):
     overrides = {}
     if args.n_classes is not None:
         overrides["n_classes"] = args.n_classes
-    batch = int(args.batch) if args.batch.isdigit() else args.batch
+    if args.input_tdim is not None:
+        overrides["input_tdim"] = args.input_tdim
+    try:
+        batch = int(args.batch)
+        if batch < 1:
+            p.error(f"--batch must be a positive int or a dimension name, got {args.batch!r}")
+    except ValueError:
+        if not args.batch.isidentifier():
+            p.error(f"--batch must be a positive int or a dimension name, got {args.batch!r}")
+        batch = args.batch
     artifact, manifest = export_inference(
         args.arch,
         args.out,

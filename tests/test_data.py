@@ -396,10 +396,11 @@ def test_loader_process_exits_cleanly(synth_hdf5):
     import sys as _sys
     import textwrap
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = textwrap.dedent(
         f"""
         import sys
-        sys.path.insert(0, {repr(os.getcwd())})
+        sys.path.insert(0, {repr(repo_root)})
         from passt_tpu.data import HDF5AudioDataset
         from passt_tpu.data.pipeline import DataLoader
         ds = HDF5AudioDataset({repr(synth_hdf5)}, classes_num=16, clip_length=2)

@@ -15,12 +15,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from passt_tpu.export import (
-    export_model,
-    load_exported,
-    make_inference_fn,
-    read_manifest,
-)
+from passt_tpu.export import export_model, load_exported, read_manifest
+from passt_tpu.hear import make_inference_fn
 from passt_tpu.models.passt import PaSSTConfig, init_passt
 from passt_tpu.ops.frontend import MelConfig
 
@@ -37,13 +33,18 @@ TINY = PaSSTConfig(
 )
 
 
+TINY_MEL = MelConfig(stft_method="matmul", n_mels=TINY.input_fdim,
+                     fmin_aug_range=10, fmax_aug_range=2000)
+
+
 @pytest.fixture(scope="module")
 def tiny_export(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("export") / "tiny")
     model, params = init_passt(TINY, jax.random.PRNGKey(0))
     seconds = 0.5
     artifact, manifest = export_model(
-        model, params, TINY, out, platforms=("cpu",), seconds=seconds, batch="b"
+        model, params, TINY, out, platforms=("cpu",), seconds=seconds, batch="b",
+        mel_cfg=TINY_MEL,
     )
     return out, model, params, seconds
 
@@ -51,12 +52,11 @@ def tiny_export(tmp_path_factory):
 def test_export_roundtrip_matches_live_model(tiny_export):
     out, model, params, seconds = tiny_export
     fn = load_exported(out)
-    mel_cfg = MelConfig(stft_method="matmul", n_mels=TINY.input_fdim)
-    infer = make_inference_fn(model, mel_cfg, seconds, TINY.input_tdim)
+    infer = make_inference_fn(model, TINY_MEL, TINY.input_tdim)
     rng = np.random.default_rng(0)
     for b in (1, 3):  # symbolic batch: one artifact, several batch sizes
         wave = jnp.asarray(
-            rng.standard_normal((b, int(seconds * mel_cfg.sr))).astype(np.float32)
+            rng.standard_normal((b, int(seconds * TINY_MEL.sr))).astype(np.float32)
         )
         logits, feats = fn(wave)
         ref_logits, ref_feats = infer(params, wave)
