@@ -177,6 +177,114 @@ def export_model(
     return artifact, manifest
 
 
+def export_ensemble(
+    name: str,
+    out_path: str,
+    checkpoint_dir: Optional[str] = None,
+    platforms: Sequence[str] = ("tpu",),
+    seconds: Optional[float] = None,
+    batch: Optional[str] = "b",
+    dtype: str = "float32",
+    mel_cfg: Optional[MelConfig] = None,
+    rng: Optional[jax.Array] = None,
+    **overrides,
+) -> Tuple[str, str]:
+    """Export a published logit-averaged ensemble as ONE artifact.
+
+    The reference's headline AudioSet numbers are ensembles (0.4956 for
+    ensemble_many, README.md:313-326) served by constructing N torch
+    models per process; here the whole ensemble — shared mel frontend
+    computed once, N transformers, logit mean — lowers into a single
+    StableHLO function with all member weights baked in.
+    ``name`` indexes :data:`passt_tpu.models.registry.ENSEMBLES`;
+    ``checkpoint_dir`` holds ``<arch>.npz`` ported weights (the
+    ``evaluate_ensemble`` convention). Returns (artifact, manifest)."""
+    from jax import export as jexport
+
+    from passt_tpu.models.registry import (
+        ENSEMBLES,
+        ensemble_apply,
+        get_ensemble_model,
+    )
+    from passt_tpu.ops.frontend import log_mel_spectrogram
+
+    if name not in ENSEMBLES:
+        raise KeyError(f"unknown ensemble {name!r}; one of {list(ENSEMBLES)}")
+    arch_list, published_map = ENSEMBLES[name]
+    paths = None
+    if checkpoint_dir is not None:
+        paths = [
+            os.path.join(checkpoint_dir, f"{arch}.npz") for arch, _, _ in arch_list
+        ]
+    pairs = get_ensemble_model(
+        arch_list, rng=rng, checkpoint_paths=paths, dtype=dtype, **overrides
+    )
+    cfg = pairs[0][0].cfg  # members share the input geometry (strides differ)
+    if mel_cfg is None:
+        mel_cfg = dataclasses.replace(
+            default_inference_mel_cfg(arch_list[0][0]), n_mels=cfg.input_fdim
+        )
+    if mel_cfg.stft_method == "auto":
+        mel_cfg = dataclasses.replace(mel_cfg, stft_method="matmul")
+    sr = mel_cfg.sr
+    if seconds is None:
+        seconds = cfg.input_tdim * mel_cfg.hopsize / sr
+    n_samples = int(seconds * sr)
+
+    def infer(wave):
+        mel = log_mel_spectrogram(wave, mel_cfg, train=False)
+        mean, _ = ensemble_apply(pairs, mel[:, None, :, : cfg.input_tdim])
+        return mean
+
+    fn = jax.jit(infer)
+    if batch is None:
+        batch = 1
+    if isinstance(batch, str):
+        (b_dim,) = jexport.symbolic_shape(batch)
+    else:
+        batch = int(batch)
+        if batch < 1:
+            raise ValueError(f"fixed batch must be >= 1, got {batch}")
+        b_dim = batch
+    spec = jax.ShapeDtypeStruct((b_dim, n_samples), jnp.float32)
+    exported = jexport.export(fn, platforms=tuple(platforms))(spec)
+
+    artifact = out_path + ARTIFACT_SUFFIX
+    manifest = out_path + MANIFEST_SUFFIX
+    os.makedirs(os.path.dirname(os.path.abspath(artifact)), exist_ok=True)
+    with open(artifact, "wb") as f:
+        f.write(exported.serialize())
+    with open(manifest, "w") as f:
+        json.dump(
+            {
+                "ensemble": name,
+                "members": [list(m) for m in arch_list],
+                "published_map": published_map,
+                "pretrained": checkpoint_dir is not None,
+                "platforms": list(exported.platforms),
+                "sample_rate": sr,
+                "seconds": seconds,
+                "mel": {
+                    "n_mels": mel_cfg.n_mels,
+                    "hopsize": mel_cfg.hopsize,
+                    "fmin_aug_range": mel_cfg.fmin_aug_range,
+                    "fmax_aug_range": mel_cfg.fmax_aug_range,
+                },
+                "input": {
+                    "shape": [None if isinstance(batch, str) else int(batch), n_samples],
+                    "dtype": "float32",
+                },
+                "outputs": {"logits": cfg.num_classes},
+                "dtype": dtype,
+                "jax_version": jax.__version__,
+                "calling_convention_version": exported.calling_convention_version,
+            },
+            f,
+            indent=2,
+        )
+    return artifact, manifest
+
+
 def load_exported(out_path: str):
     """Deserialize an exported artifact; returns ``fn(wave) -> (logits,
     features)``. Needs only jax — not this package's model code."""

@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--arch", default="passt_s_swa_p16_128_ap476")
+    p.add_argument("--ensemble", default=None,
+                   help="export a published logit-averaged ensemble (one of passt_tpu.models.registry.ENSEMBLES) instead of --arch")
     p.add_argument("--checkpoint", default=None, help=".npz/.pt ported weights; omit for random init (smoke/debug)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="for --ensemble: directory of <arch>.npz ported member weights")
     p.add_argument("--out", required=True, help="output prefix; writes <out>.passt.hlo + <out>.passt.json")
     p.add_argument("--platforms", nargs="+", default=["tpu"], choices=["tpu", "cpu", "cuda", "rocm"])
     p.add_argument("--seconds", type=float, default=None,
@@ -50,16 +54,30 @@ def main(argv=None):
         if not args.batch.isidentifier():
             p.error(f"--batch must be a positive int or a dimension name, got {args.batch!r}")
         batch = args.batch
-    artifact, manifest = export_inference(
-        args.arch,
-        args.out,
-        checkpoint_path=args.checkpoint,
-        platforms=args.platforms,
-        seconds=args.seconds,
-        dtype=args.dtype,
-        batch=batch,
-        **overrides,
-    )
+    if args.ensemble is not None:
+        from passt_tpu.export import export_ensemble
+
+        artifact, manifest = export_ensemble(
+            args.ensemble,
+            args.out,
+            checkpoint_dir=args.checkpoint_dir,
+            platforms=args.platforms,
+            seconds=args.seconds,
+            dtype=args.dtype,
+            batch=batch,
+            **overrides,
+        )
+    else:
+        artifact, manifest = export_inference(
+            args.arch,
+            args.out,
+            checkpoint_path=args.checkpoint,
+            platforms=args.platforms,
+            seconds=args.seconds,
+            dtype=args.dtype,
+            batch=batch,
+            **overrides,
+        )
     print(f"wrote {artifact} ({os.path.getsize(artifact) / 1e6:.1f} MB) and {manifest}")
 
 

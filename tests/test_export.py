@@ -128,3 +128,58 @@ def test_export_full_arch_cli(tmp_path):
     fn = load_exported(out)
     logits, feats = fn(jnp.zeros((2, 32000), jnp.float32))
     assert logits.shape == (2, 527) and feats.shape == (2, 768)
+
+
+def test_export_ensemble_roundtrip(tmp_path):
+    """Ensemble export: one artifact = shared mel + N members + logit mean
+    (reference EnsembelerModel passt.py:1021-1036; ensemble configs
+    config_updates.py:136-222). Members tiny-fied via the ARCHS registry
+    like tests/test_hear.py does."""
+    import passt_tpu.models.registry as registry
+    from passt_tpu.export import export_ensemble
+    from passt_tpu.models.registry import ensemble_apply, get_ensemble_model
+    from passt_tpu.ops.frontend import log_mel_spectrogram
+
+    members = registry.ENSEMBLES["ensemble_s16_14"][0]
+    saved = {}
+    try:
+        for arch, _, _ in members:
+            saved[arch] = registry.ARCHS[arch]
+            registry.ARCHS[arch] = dataclasses.replace(
+                saved[arch], depth=1, embed_dim=64, num_heads=4
+            )
+        out = str(tmp_path / "ens")
+        export_ensemble(
+            "ensemble_s16_14", out, platforms=("cpu",), seconds=0.5,
+            n_classes=7, input_fdim=64, input_tdim=48,
+        )
+        m = read_manifest(out)
+        assert m["ensemble"] == "ensemble_s16_14"
+        assert m["published_map"] == 0.48579
+        assert [tuple(x) for x in m["members"]] == members
+        assert m["outputs"] == {"logits": 7}
+
+        fn = load_exported(out)
+        wave = jnp.asarray(
+            np.random.default_rng(3).standard_normal((2, 16000)).astype(np.float32)
+        )
+        logits = fn(wave)
+        assert logits.shape == (2, 7)
+
+        # oracle: mean of member logits on the shared eval-mode mel
+        pairs = get_ensemble_model(
+            members, rng=jax.random.PRNGKey(0),
+            n_classes=7, input_fdim=64, input_tdim=48, dtype="float32",
+        )
+        from passt_tpu.hear import default_inference_mel_cfg
+
+        mel_cfg = dataclasses.replace(
+            default_inference_mel_cfg(members[0][0]),
+            n_mels=64, stft_method="matmul",
+        )
+        mel = log_mel_spectrogram(wave, mel_cfg, train=False)[:, None, :, :48]
+        ref, _ = ensemble_apply(pairs, mel)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=1e-5)
+    finally:
+        for arch, spec in saved.items():
+            registry.ARCHS[arch] = spec
