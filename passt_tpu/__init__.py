@@ -32,7 +32,7 @@ def __getattr__(name):
         from passt_tpu.hear import Predictor
 
         return Predictor
-    if name in ("export_inference", "load_exported"):
+    if name in ("export_inference", "export_ensemble", "load_exported"):
         from passt_tpu import export
 
         return getattr(export, name)
