@@ -108,6 +108,10 @@ class TrainerConfig:
     # .npy under checkpoint_dir (the reference logs the first 5 steps'
     # spectrogram images to wandb, ex_audioset.py:161-167)
     log_every_steps: int = 50
+    opt_moments_dtype: Optional[str] = None  # "bfloat16" stores the AdamW
+    # first moment in bf16 (-172 MB optimizer HBM for PaSST-S)
+    grad_accum: int = 1  # average K micro-batch grads per optimizer update
+    # (optax.MultiSteps; LR schedule advances once per update)
     log_grad_norm: bool = False  # per-step global gradient norm in the
     # step metrics (the reference's wandb.watch gradient logging,
     # ex_audioset.py:344-346, reduced to a scalar)

@@ -254,6 +254,8 @@ class Experiment:
             ramp_down_start=cfg.trainer.ramp_down_start,
             ramp_down_len=cfg.trainer.ramp_down_len,
             last_lr_value=cfg.trainer.last_lr_value,
+            moments_dtype=cfg.trainer.opt_moments_dtype,
+            grad_accum=cfg.trainer.grad_accum,
         )
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.trainer.seed)
         model, params = init_passt(pcfg, rng)

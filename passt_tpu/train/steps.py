@@ -61,19 +61,39 @@ def make_optimizer(
     ramp_down_len: int = 50,
     last_lr_value: float = 0.01,
     adamw: bool = True,
+    moments_dtype: Optional[str] = None,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW(lr=2e-5, wd=1e-4) with the warmup+linear-down epoch schedule —
     reference get_optimizer/get_lr_scheduler (ex_audioset.py:97-109).
     Weight decay applies to ALL parameters including positional embeddings
     and norms: the reference defines no_weight_decay() but never uses it
-    (SURVEY §7 quirk list; ex_audioset.py:297)."""
+    (SURVEY §7 quirk list; ex_audioset.py:297).
+
+    Beyond-reference production knobs: ``moments_dtype="bfloat16"`` stores
+    the AdamW first moment in bf16 (optax's ``mu_dtype``; −172 MB of
+    optimizer HBM for PaSST-S — the second moment stays fp32, where low
+    precision would actually hurt); ``grad_accum=K`` wraps the
+    optimizer in ``optax.MultiSteps`` so K micro-batch gradients average
+    into one update — the schedule still advances once per *update*, so
+    the LR trajectory matches a K-times-larger per-step batch."""
+    # Under MultiSteps the inner optimizer's schedule is indexed by UPDATE
+    # count (one per K micro-steps), so its steps-per-epoch shrinks by K —
+    # this keeps the LR-vs-epoch trajectory identical to an unaccumulated
+    # run, and equal to the host-side logged schedule evaluated at the
+    # micro-step index (update/spe_inner == micro_step/spe).
     schedule = make_schedule(
-        lr, steps_per_epoch, schedule_mode, warm_up_len, ramp_down_start,
-        ramp_down_len, last_lr_value,
+        lr, max(1, steps_per_epoch // max(grad_accum, 1)), schedule_mode,
+        warm_up_len, ramp_down_start, ramp_down_len, last_lr_value,
     )
+    mu_dtype = None if moments_dtype is None else jnp.dtype(moments_dtype)
     if adamw:
-        return optax.adamw(schedule, weight_decay=weight_decay)
-    return optax.adam(schedule)
+        tx = optax.adamw(schedule, weight_decay=weight_decay, mu_dtype=mu_dtype)
+    else:
+        tx = optax.adam(schedule, mu_dtype=mu_dtype)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def create_train_state(

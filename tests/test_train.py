@@ -303,3 +303,55 @@ def test_masked_roc_auc():
     unobs = np.nonzero(mask[:, 0] < 0.5)[0]
     scores2[unobs[0], 0] = 1.0 - scores2[unobs[0], 0]
     np.testing.assert_allclose(masked_roc_auc(labels, scores2, mask), auc, rtol=1e-12)
+
+
+def test_optimizer_moments_dtype_bf16():
+    """opt_moments_dtype="bfloat16" stores AdamW's first moment in bf16
+    (beyond-reference memory knob; second moment stays fp32)."""
+    import jax.numpy as jnp
+
+    from passt_tpu.train.steps import make_optimizer
+
+    tx = make_optimizer(steps_per_epoch=10, moments_dtype="bfloat16")
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}
+    state = tx.init(params)
+    mus = [l for l in jax.tree_util.tree_leaves(state) if l.dtype == jnp.bfloat16]
+    assert len(mus) == 2  # mu for each param leaf
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, state2 = tx.update(g, state, params)
+    assert all(jnp.isfinite(l).all() for l in jax.tree_util.tree_leaves(upd))
+
+
+def test_grad_accum_matches_large_batch_update():
+    """grad_accum=K: K accumulated micro-grads produce exactly the update
+    the plain optimizer produces for their mean — including the LR
+    schedule, whose inner steps-per-epoch shrinks by K so the LR-vs-epoch
+    trajectory is unchanged (one update per K micro-steps)."""
+    import jax.numpy as jnp
+    import optax
+
+    from passt_tpu.train.steps import make_optimizer
+
+    kw = dict(lr=1e-3, schedule_mode="exp_lin", warm_up_len=2,
+              ramp_down_start=5, ramp_down_len=5)
+    tx_acc = make_optimizer(steps_per_epoch=10, grad_accum=2, **kw)
+    tx_ref = make_optimizer(steps_per_epoch=5, grad_accum=1, **kw)
+
+    params_a = {"w": jnp.arange(6.0).reshape(2, 3) / 7.0}
+    params_r = jax.tree_util.tree_map(jnp.copy, params_a)
+    sa, sr = tx_acc.init(params_a), tx_ref.init(params_r)
+
+    rng = np.random.default_rng(0)
+    for round_i in range(4):
+        g1 = {"w": jnp.asarray(rng.standard_normal((2, 3)), jnp.float32)}
+        g2 = {"w": jnp.asarray(rng.standard_normal((2, 3)), jnp.float32)}
+        for g in (g1, g2):
+            upd, sa = tx_acc.update(g, sa, params_a)
+            params_a = optax.apply_updates(params_a, upd)
+        gm = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
+        upd, sr = tx_ref.update(gm, sr, params_r)
+        params_r = optax.apply_updates(params_r, upd)
+        np.testing.assert_allclose(
+            np.asarray(params_a["w"]), np.asarray(params_r["w"]),
+            rtol=1e-6, atol=1e-7,
+        )
