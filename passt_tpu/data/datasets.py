@@ -131,14 +131,22 @@ def _decode_raw_i16(buf: np.ndarray) -> np.ndarray:
     return np.frombuffer(buf.tobytes(), dtype=np.int16).astype(np.float32) / 32768.0
 
 
-def _decode_wav(buf: np.ndarray) -> np.ndarray:
-    """Minimal RIFF/WAVE PCM decoder (mono or averaged-to-mono)."""
+def _decode_wav(buf: np.ndarray, target_rate: Optional[int] = None) -> np.ndarray:
+    """Minimal RIFF/WAVE PCM decoder (mono or averaged-to-mono).
+
+    ``target_rate`` resamples when the file's rate differs (the reference
+    loads wavs through ``librosa.load(sr=32000)`` which resamples too,
+    esc50/dataset.py); integer-factor downsampling strides (the reference's
+    own 32k->16k/8k technique, audioset/dataset.py:202-216), anything else
+    linearly interpolates. Without ``target_rate`` the file's samples are
+    returned as-is (rate ignored — only correct for known-rate containers)."""
     import wave
 
     with wave.open(io.BytesIO(buf.tobytes())) as w:
         n = w.getnframes()
         width = w.getsampwidth()
         ch = w.getnchannels()
+        rate = w.getframerate()
         raw = w.readframes(n)
     if width == 2:
         x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
@@ -150,6 +158,12 @@ def _decode_wav(buf: np.ndarray) -> np.ndarray:
         raise ValueError(f"unsupported WAV sample width {width}")
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
+    if target_rate is not None and rate != target_rate:
+        if rate % target_rate == 0:
+            x = x[:: rate // target_rate]
+        else:
+            t_new = np.arange(int(round(len(x) * target_rate / rate))) * (rate / target_rate)
+            x = np.interp(t_new, np.arange(len(x)), x).astype(np.float32)
     return x
 
 
@@ -356,15 +370,17 @@ class FolderDataset(AudioDataset):
 
         path = self.files[index]
         with open(path, "rb") as f:
-            wave = _decode_wav(np.frombuffer(f.read(), dtype=np.uint8))
+            # resample to the dataset rate: files at 44.1/48/16 kHz would
+            # otherwise silently reach the model time/pitch-warped
+            wave = _decode_wav(
+                np.frombuffer(f.read(), dtype=np.uint8), target_rate=self.sample_rate
+            )
         if self.clip_samples is not None:
             wave = pad_or_truncate(wave, self.clip_samples)
         name = os.path.basename(path)
         label = self.labels.get(name)
         if label is None:
             target = np.zeros(self.num_classes, dtype=np.float32)
-        elif np.isscalar(label) or np.asarray(label).ndim == 0:
-            target = np.asarray(label, dtype=np.float32)
         else:
             target = np.asarray(label, dtype=np.float32)
         return wave.astype(np.float32), name, target
@@ -439,14 +455,28 @@ class CachedDataset(AudioDataset):
     """Disk-cache every item as an .npz on first access (the reference's
     FilesCachedDataset / ObjectCacher torch.save caches,
     helpers/audiodatasets.py:51-173). Useful when the underlying decode or
-    augmentation chain is expensive and deterministic."""
+    augmentation chain is expensive.
+
+    The cache key includes the current epoch seed: an epoch-reseeded
+    augmentation chain below (gain/roll/wavmix all reseed via
+    ``set_epoch``) would otherwise be frozen to whatever epoch first
+    populated the cache, silently training every epoch on identical
+    augmentations. Deterministic chains keep a constant seed and hit one
+    cache; augmented chains get a correct per-epoch cache (at per-epoch
+    disk cost — cache *below* the augmentation wrappers to avoid it)."""
 
     def __init__(self, dataset: AudioDataset, cache_dir: str):
         import os
 
         self.dataset = dataset
         self.cache_dir = cache_dir
+        self._seed = 0
         os.makedirs(cache_dir, exist_ok=True)
+
+    def set_epoch(self, epoch: int) -> None:
+        # children are reseeded by set_epoch_recursive; mirror the seed
+        # derivation used by the chain so the key matches their state
+        self._seed = epoch
 
     def __len__(self):
         return len(self.dataset)
@@ -454,12 +484,12 @@ class CachedDataset(AudioDataset):
     def __getitem__(self, index):
         import os
 
-        path = os.path.join(self.cache_dir, f"{index}.npz")
+        path = os.path.join(self.cache_dir, f"s{self._seed}_{index}.npz")
         if os.path.exists(path):
             data = np.load(path, allow_pickle=False)
             return data["wave"], str(data["name"]), data["target"]
         wave, name, target = self.dataset[index]
-        tmp = os.path.join(self.cache_dir, f"{index}.tmp.npz")
+        tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(f, wave=wave, name=name, target=target)
         os.replace(tmp, path)

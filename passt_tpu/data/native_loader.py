@@ -181,10 +181,12 @@ class NativeBatchBuilder:
         return {"wave": wave, "target": target, "name": names}
 
 
-def maybe_native_builder(cfg, dataset) -> Optional[NativeBatchBuilder]:
-    """A NativeBatchBuilder for the recipe's train dataset chain, or None
-    when the native plane is unavailable / the chain is ineligible
-    (mp3/variable-length/resampled containers keep the numpy path)."""
+def maybe_native_builder(cfg) -> Optional[NativeBatchBuilder]:
+    """A NativeBatchBuilder for the recipe's cfg-derived train chain, or
+    None when the native plane is unavailable / the chain is ineligible
+    (mp3/variable-length/resampled containers keep the numpy path).
+    Callers with a custom dataset keep the numpy path — this builder is
+    bound to the cfg-derived chain only."""
     d = cfg.data
     if not getattr(d, "native_loader", False) or not native.available():
         return None
@@ -193,16 +195,9 @@ def maybe_native_builder(cfg, dataset) -> Optional[NativeBatchBuilder]:
     if d.train_hdf5_extra:
         return None
     try:
-        base = HDF5AudioDataset(
-            d.train_hdf5,
-            sample_rate=d.sample_rate,
-            classes_num=d.num_classes,
-            clip_length=d.clip_length,
-            packed_targets=d.packed_targets,
-            gain_augment_db=d.gain_augment_db,
-            crop=d.crop,
-            seed=d.seed,
-        )
+        from passt_tpu.experiments.common import build_base_train_dataset
+
+        base = build_base_train_dataset(cfg, d.train_hdf5, d.seed)
         return NativeBatchBuilder(
             base,
             roll_shift_range=d.roll_shift_range if d.roll else 0,

@@ -41,6 +41,24 @@ from passt_tpu.train.steps import (
 )
 
 
+def build_base_train_dataset(cfg: ExperimentConfig, path: str, seed: int):
+    """The un-augmented HDF5 base for one training container — the single
+    construction point shared by the numpy chain (build_train_dataset) and
+    the native C++ batch plane (data.native_loader), so their kwargs cannot
+    drift apart."""
+    d = cfg.data
+    return HDF5AudioDataset(
+        path,
+        sample_rate=d.sample_rate,
+        classes_num=d.num_classes,
+        clip_length=d.clip_length,
+        packed_targets=d.packed_targets,
+        gain_augment_db=d.gain_augment_db,
+        crop=d.crop,
+        seed=seed,
+    )
+
+
 def build_train_dataset(cfg: ExperimentConfig):
     d = cfg.data
     if d.train_hdf5 is None:
@@ -48,31 +66,9 @@ def build_train_dataset(cfg: ExperimentConfig):
             "data.train_hdf5 is not set — point it at a packed HDF5 "
             "(see passt_tpu.data.prepare)"
         )
-    sets = [
-        HDF5AudioDataset(
-            d.train_hdf5,
-            sample_rate=d.sample_rate,
-            classes_num=d.num_classes,
-            clip_length=d.clip_length,
-            packed_targets=d.packed_targets,
-            gain_augment_db=d.gain_augment_db,
-            crop=d.crop,
-            seed=d.seed,
-        )
-    ]
+    sets = [build_base_train_dataset(cfg, d.train_hdf5, d.seed)]
     if d.train_hdf5_extra:
-        sets.append(
-            HDF5AudioDataset(
-                d.train_hdf5_extra,
-                sample_rate=d.sample_rate,
-                classes_num=d.num_classes,
-                clip_length=d.clip_length,
-                packed_targets=d.packed_targets,
-                gain_augment_db=d.gain_augment_db,
-                crop=d.crop,
-                seed=d.seed + 1,
-            )
-        )
+        sets.append(build_base_train_dataset(cfg, d.train_hdf5_extra, d.seed + 1))
     ds = sets[0] if len(sets) == 1 else ConcatDataset(sets)
     if d.roll:
         from passt_tpu.data.datasets import RollDataset
@@ -142,7 +138,7 @@ def build_train_loader(cfg: ExperimentConfig, dataset=None, batch_scale: int = 1
     if dataset is None:
         from passt_tpu.data.native_loader import maybe_native_builder
 
-        builder = maybe_native_builder(cfg, ds)
+        builder = maybe_native_builder(cfg)
     return DataLoader(
         ds,
         d.batch_size * batch_scale,

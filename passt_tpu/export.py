@@ -37,6 +37,76 @@ MANIFEST_SUFFIX = ".passt.json"
 ARTIFACT_SUFFIX = ".passt.hlo"
 
 
+
+def _prepare_mel(mel_cfg: Optional[MelConfig], n_mels: int) -> MelConfig:
+    """Default + portability-normalize the artifact's frontend config."""
+    if mel_cfg is None:
+        mel_cfg = MelConfig(n_mels=n_mels, fmin_aug_range=10, fmax_aug_range=2000)
+    if mel_cfg.stft_method == "auto":
+        # The artifact must deserialize on any JAX runtime: the portable
+        # matmul-STFT frontend (one MXU matmul, no custom calls) replaces
+        # "auto" — the fused Pallas mel kernel lowers to a Mosaic custom
+        # call whose serialization ties the artifact to matching kernel
+        # versions, for ~0.2 ms/batch of mel time serving will not miss.
+        mel_cfg = dataclasses.replace(mel_cfg, stft_method="matmul")
+    return mel_cfg
+
+
+def _export_and_write(
+    fn,
+    out_path: str,
+    platforms: Sequence[str],
+    batch,
+    n_samples: int,
+    mel_cfg: MelConfig,
+    manifest_fields: dict,
+) -> Tuple[str, str]:
+    """Shared export tail: resolve the batch dim (symbolic name or fixed
+    positive int), lower for the platforms, and write artifact + manifest."""
+    from jax import export as jexport
+
+    if batch is None:
+        batch = 1
+    if isinstance(batch, str):
+        (b_dim,) = jexport.symbolic_shape(batch)
+    else:
+        batch = int(batch)
+        if batch < 1:
+            raise ValueError(f"fixed batch must be >= 1, got {batch}")
+        b_dim = batch
+    spec = jax.ShapeDtypeStruct((b_dim, n_samples), jnp.float32)
+    exported = jexport.export(fn, platforms=tuple(platforms))(spec)
+
+    artifact = out_path + ARTIFACT_SUFFIX
+    manifest = out_path + MANIFEST_SUFFIX
+    os.makedirs(os.path.dirname(os.path.abspath(artifact)), exist_ok=True)
+    with open(artifact, "wb") as f:
+        f.write(exported.serialize())
+    with open(manifest, "w") as f:
+        json.dump(
+            {
+                "platforms": list(exported.platforms),
+                "sample_rate": mel_cfg.sr,
+                "mel": {
+                    "n_mels": mel_cfg.n_mels,
+                    "hopsize": mel_cfg.hopsize,
+                    "fmin_aug_range": mel_cfg.fmin_aug_range,
+                    "fmax_aug_range": mel_cfg.fmax_aug_range,
+                },
+                "input": {
+                    "shape": [None if isinstance(batch, str) else int(batch), n_samples],
+                    "dtype": "float32",
+                },
+                "jax_version": jax.__version__,
+                "calling_convention_version": exported.calling_convention_version,
+                **manifest_fields,
+            },
+            f,
+            indent=2,
+        )
+    return artifact, manifest
+
+
 def export_inference(
     arch: str,
     out_path: str,
@@ -107,74 +177,28 @@ def export_model(
     Patchout, if configured, is train-only and never enters the exported
     eval graph. ``seconds=None`` derives the wave length from the model's
     time grid (input_tdim · hop / sr)."""
-    from jax import export as jexport
-
-    if mel_cfg is None:
-        mel_cfg = MelConfig(
-            n_mels=cfg.input_fdim, fmin_aug_range=10, fmax_aug_range=2000
-        )
-    if mel_cfg.stft_method == "auto":
-        # The artifact must deserialize on any JAX runtime: the portable
-        # matmul-STFT frontend (one MXU matmul, no custom calls) replaces
-        # "auto" — the fused Pallas mel kernel lowers to a Mosaic custom
-        # call whose serialization ties the artifact to matching kernel
-        # versions, for ~0.2 ms/batch of mel time serving will not miss.
-        mel_cfg = dataclasses.replace(mel_cfg, stft_method="matmul")
-    sr = mel_cfg.sr
+    mel_cfg = _prepare_mel(mel_cfg, cfg.input_fdim)
     if seconds is None:
-        seconds = cfg.input_tdim * mel_cfg.hopsize / sr
-    n_samples = int(seconds * sr)
+        seconds = cfg.input_tdim * mel_cfg.hopsize / mel_cfg.sr
     infer = make_inference_fn(model, mel_cfg, cfg.input_tdim)
 
     # Bake the weights into the artifact: serving needs one file, not a
     # checkpoint + a framework. jit-with-closure captures them as constants.
     fn = jax.jit(lambda wave: infer(params, wave))
-
-    if batch is None:
-        batch = 1
-    if isinstance(batch, str):
-        (b_dim,) = jexport.symbolic_shape(batch)
-    else:
-        batch = int(batch)
-        if batch < 1:
-            raise ValueError(f"fixed batch must be >= 1, got {batch}")
-        b_dim = batch
-    spec = jax.ShapeDtypeStruct((b_dim, n_samples), jnp.float32)
-    exported = jexport.export(fn, platforms=tuple(platforms))(spec)
-    blob = exported.serialize()
-
-    artifact = out_path + ARTIFACT_SUFFIX
-    manifest = out_path + MANIFEST_SUFFIX
-    parent = os.path.dirname(os.path.abspath(artifact))
-    os.makedirs(parent, exist_ok=True)
-    with open(artifact, "wb") as f:
-        f.write(blob)
-    with open(manifest, "w") as f:
-        json.dump(
-            {
-                "platforms": list(exported.platforms),
-                "sample_rate": sr,
-                "seconds": seconds,
-                "mel": {
-                    "n_mels": mel_cfg.n_mels,
-                    "hopsize": mel_cfg.hopsize,
-                    "fmin_aug_range": mel_cfg.fmin_aug_range,
-                    "fmax_aug_range": mel_cfg.fmax_aug_range,
-                },
-                "input": {
-                    "shape": [None if isinstance(batch, str) else int(batch), n_samples],
-                    "dtype": "float32",
-                },
-                "outputs": {"logits": cfg.num_classes, "features": cfg.embed_dim},
-                "dtype": cfg.dtype,
-                "jax_version": jax.__version__,
-                "calling_convention_version": exported.calling_convention_version,
-                **(manifest_extra or {}),
-            },
-            f,
-            indent=2,
-        )
-    return artifact, manifest
+    return _export_and_write(
+        fn,
+        out_path,
+        platforms,
+        batch,
+        int(seconds * mel_cfg.sr),
+        mel_cfg,
+        {
+            "seconds": seconds,
+            "outputs": {"logits": cfg.num_classes, "features": cfg.embed_dim},
+            "dtype": cfg.dtype,
+            **(manifest_extra or {}),
+        },
+    )
 
 
 def export_ensemble(
@@ -199,8 +223,6 @@ def export_ensemble(
     ``name`` indexes :data:`passt_tpu.models.registry.ENSEMBLES`;
     ``checkpoint_dir`` holds ``<arch>.npz`` ported weights (the
     ``evaluate_ensemble`` convention). Returns (artifact, manifest)."""
-    from jax import export as jexport
-
     from passt_tpu.models.registry import (
         ENSEMBLES,
         ensemble_apply,
@@ -224,65 +246,32 @@ def export_ensemble(
         mel_cfg = dataclasses.replace(
             default_inference_mel_cfg(arch_list[0][0]), n_mels=cfg.input_fdim
         )
-    if mel_cfg.stft_method == "auto":
-        mel_cfg = dataclasses.replace(mel_cfg, stft_method="matmul")
-    sr = mel_cfg.sr
+    mel_cfg = _prepare_mel(mel_cfg, cfg.input_fdim)
     if seconds is None:
-        seconds = cfg.input_tdim * mel_cfg.hopsize / sr
-    n_samples = int(seconds * sr)
+        seconds = cfg.input_tdim * mel_cfg.hopsize / mel_cfg.sr
 
     def infer(wave):
         mel = log_mel_spectrogram(wave, mel_cfg, train=False)
         mean, _ = ensemble_apply(pairs, mel[:, None, :, : cfg.input_tdim])
         return mean
 
-    fn = jax.jit(infer)
-    if batch is None:
-        batch = 1
-    if isinstance(batch, str):
-        (b_dim,) = jexport.symbolic_shape(batch)
-    else:
-        batch = int(batch)
-        if batch < 1:
-            raise ValueError(f"fixed batch must be >= 1, got {batch}")
-        b_dim = batch
-    spec = jax.ShapeDtypeStruct((b_dim, n_samples), jnp.float32)
-    exported = jexport.export(fn, platforms=tuple(platforms))(spec)
-
-    artifact = out_path + ARTIFACT_SUFFIX
-    manifest = out_path + MANIFEST_SUFFIX
-    os.makedirs(os.path.dirname(os.path.abspath(artifact)), exist_ok=True)
-    with open(artifact, "wb") as f:
-        f.write(exported.serialize())
-    with open(manifest, "w") as f:
-        json.dump(
-            {
-                "ensemble": name,
-                "members": [list(m) for m in arch_list],
-                "published_map": published_map,
-                "pretrained": checkpoint_dir is not None,
-                "platforms": list(exported.platforms),
-                "sample_rate": sr,
-                "seconds": seconds,
-                "mel": {
-                    "n_mels": mel_cfg.n_mels,
-                    "hopsize": mel_cfg.hopsize,
-                    "fmin_aug_range": mel_cfg.fmin_aug_range,
-                    "fmax_aug_range": mel_cfg.fmax_aug_range,
-                },
-                "input": {
-                    "shape": [None if isinstance(batch, str) else int(batch), n_samples],
-                    "dtype": "float32",
-                },
-                "outputs": {"logits": cfg.num_classes},
-                "dtype": dtype,
-                "jax_version": jax.__version__,
-                "calling_convention_version": exported.calling_convention_version,
-            },
-            f,
-            indent=2,
-        )
-    return artifact, manifest
+    return _export_and_write(
+        jax.jit(infer),
+        out_path,
+        platforms,
+        batch,
+        int(seconds * mel_cfg.sr),
+        mel_cfg,
+        {
+            "seconds": seconds,
+            "ensemble": name,
+            "members": [list(m) for m in arch_list],
+            "published_map": published_map,
+            "pretrained": checkpoint_dir is not None,
+            "outputs": {"logits": cfg.num_classes},
+            "dtype": dtype,
+        },
+    )
 
 
 def load_exported(out_path: str):

@@ -119,21 +119,24 @@ class Predictor:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """[B, T] -> ([B, N, D] embeddings, [N] timestamps in ms):
         sliding-window scene embeddings (hear21passt
-        get_timestamp_embeddings semantics: short windows centered on a
-        regular timestamp grid)."""
+        get_timestamp_embeddings semantics: the audio is zero-padded by
+        half a window on both sides so the timestamp grid spans the whole
+        clip — including arbitrarily short clips, which the HEAR contract
+        requires the entry point to accept)."""
         wave = jnp.asarray(wave)
         sr = self.mel_cfg.sr
         win = int(window_seconds * sr)
         hop = int(hop_seconds * sr)
         b, t = wave.shape
-        centers = np.arange(win // 2, t - win // 2, hop)
-        windows = []
-        for c in centers:
-            windows.append(wave[:, c - win // 2 : c + win // 2])
+        # pad half a window each side: window n is centered on sample n*hop
+        # of the ORIGINAL audio, and even t < win yields >= 1 window
+        padded = jnp.pad(wave, ((0, 0), (win // 2, win - win // 2)))
+        centers = np.arange(win // 2, win // 2 + t, hop)  # in padded coords
+        windows = [padded[:, c - win // 2 : c - win // 2 + win] for c in centers]
         stacked = jnp.stack(windows, axis=1).reshape(b * len(centers), win)
         _, feats = self._fn()(self.params, stacked)
         feats = feats.reshape(b, len(centers), -1)
-        timestamps = jnp.asarray(centers / sr * 1000.0)
+        timestamps = jnp.asarray((centers - win // 2) / sr * 1000.0)
         return feats, timestamps
 
 

@@ -128,8 +128,15 @@ class PaSSTConfig:
 
 
 def trunc_normal_init(std: float = 0.02):
-    # timm trunc_normal_: truncation at +/- 2 std.
-    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+    """timm/torch ``trunc_normal_(std=.02, a=-2., b=2.)``: the bounds are
+    ABSOLUTE (±2.0), i.e. ±100σ at std 0.02 — effectively an untruncated
+    N(0, std). flax's ``truncated_normal`` takes bounds in σ units and does
+    not re-normalize variance, so passing lower=-2σ would clip at ±0.04 and
+    shrink the effective std to ~0.0176; divide by std to express the
+    reference's absolute bounds."""
+    return nn.initializers.truncated_normal(
+        stddev=std, lower=-2.0 / std, upper=2.0 / std
+    )
 
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):

@@ -182,8 +182,10 @@ def evaluate(
         metrics["ap"] = mean_average_precision(target, out)
         try:
             metrics["roc"] = float(np.nanmean(roc_auc(target, out)))
-        except Exception:
-            pass
+        except ValueError as e:
+            # single-class / no-positive eval slices can make AUC undefined
+            # (sklearn raises the same); anything else should surface loudly
+            print(f"roc_auc undefined on this eval set ({e}); omitting 'roc'")
         metrics["allap"] = metrics["ap"]  # single-controller: ap == allap
     return metrics
 

@@ -197,7 +197,7 @@ def test_cached_dataset(tmp_path, synth_hdf5):
     np.testing.assert_array_equal(t1, t2)
     import os
 
-    assert os.path.exists(str(tmp_path / "cache" / "3.npz"))
+    assert os.path.exists(str(tmp_path / "cache" / "s0_3.npz"))
 
 
 def test_extra_ramp_functions():
@@ -415,3 +415,32 @@ def test_loader_process_exits_cleanly(synth_hdf5):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "drained" in proc.stdout
+
+
+def test_folder_dataset_resamples_foreign_rates(tmp_path, rng_np):
+    """FolderDataset must not silently treat a 16 kHz / 44.1 kHz file as
+    32 kHz (time/pitch-warped spectrograms with no diagnostic): the wav
+    decoder reads the RIFF rate and resamples to the dataset rate —
+    integer factors by striding (the reference's own 32k->16k technique,
+    audioset/dataset.py:202-216), otherwise linear interpolation (the
+    reference loads wavs via librosa.load(sr=32000), which resamples)."""
+    import wave as wavemod
+
+    from passt_tpu.data import FolderDataset
+
+    def write(path, rate, n):
+        x = (rng_np.standard_normal(n) * 3000).astype(np.int16)
+        with wavemod.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(x.tobytes())
+
+    write(tmp_path / "native32k.wav", 32000, 32000)   # 1 s
+    write(tmp_path / "slow16k.wav", 16000, 16000)     # 1 s at 16 kHz
+    write(tmp_path / "cd44k.wav", 44100, 44100)       # 1 s at 44.1 kHz
+    ds = FolderDataset(str(tmp_path), num_classes=4, sample_rate=32000)
+    for i in range(3):
+        wave_i, name, _ = ds[i]
+        # every clip must decode to ~1 s at 32 kHz regardless of file rate
+        assert abs(len(wave_i) - 32000) <= 1, (name, len(wave_i))

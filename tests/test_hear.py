@@ -70,3 +70,25 @@ def test_hear_module_entry_points(rng_np):
         assert ts_emb.shape[1] == len(ts)
     finally:
         registry.ARCHS["passt_s_swa_p16_128_ap476"] = old
+
+
+def test_timestamp_embeddings_short_audio_and_full_span(tiny_predictor, rng_np):
+    """The HEAR contract requires arbitrary-length audio: the clip is
+    zero-padded by half a window each side, so even sub-window clips give
+    >= 1 frame and the timestamp grid starts at 0 ms and spans the clip
+    (hear21passt pads the same way; previously t <= window crashed and the
+    grid stopped half a window short of both edges)."""
+    sr = 32000
+    # shorter than one 0.16 s window
+    tiny_clip = rng_np.standard_normal((1, int(0.1 * sr))).astype(np.float32)
+    emb, ts = tiny_predictor.timestamp_embeddings(tiny_clip)
+    assert emb.shape[0] == 1 and emb.shape[1] >= 1
+    assert float(ts[0]) == 0.0
+
+    one_sec = rng_np.standard_normal((2, sr)).astype(np.float32)
+    emb, ts = tiny_predictor.timestamp_embeddings(one_sec)
+    assert emb.shape[:2] == (2, len(ts))
+    assert float(ts[0]) == 0.0
+    assert float(ts[-1]) >= 1000.0 - 50.0 - 1e-6  # grid reaches the last hop
+    hops = np.diff(np.asarray(ts))
+    np.testing.assert_allclose(hops, 50.0, atol=1e-6)
