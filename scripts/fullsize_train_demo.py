@@ -1,8 +1,9 @@
 """Full-size PaSST-S (86M params) from-scratch training validation on real
 TPU: 50-tone multilabel task through the complete AudioSet recipe (class-
 balanced weighted sampler + wavmix + roll + gain + batch mixup + SpecAugment
-+ SWA + warmup/rampdown). Observed (2026-08-16, one v5e core, 8 min wall):
-mAP 0.08 -> 0.88 over 12 epochs, ROC-AUC 0.996."""
++ SWA + warmup/rampdown). Observed (2026-08-17, one v5e core, ~6 min wall,
+tanh-GELU bf16 + torch-faithful trunc-normal init):
+mAP 0.08 -> 0.894 over 12 epochs, ROC-AUC 0.994."""
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tempfile, time
