@@ -119,3 +119,39 @@ def test_eval_outputs_gatherable(rng_np):
     out = ev(params, batch)
     arr = np.asarray(out["out"])  # implicit cross-device gather to host
     assert arr.shape == (16, 8)
+
+
+def test_grad_accum_opt_state_shards_on_mesh(rng_np):
+    """trainer.grad_accum wraps the optimizer in optax.MultiSteps, whose
+    state nests the inner AdamW state AND an acc_grads tree mirroring the
+    params — shard_params matches TP rules on path suffixes, so both must
+    pick up the TP layouts, and a dp x tp accumulated step must execute."""
+    cfg = PaSSTConfig(
+        input_fdim=32, input_tdim=50, embed_dim=64, depth=2, num_heads=4,
+        num_classes=8,
+    )
+    mcfg = MelConfig(n_mels=32, freqm=4, timem=8)
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=4, grad_accum=2)
+    model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = shard_params(state.params, mesh)
+    opt_state = shard_params(state.opt_state, mesh)
+    # the accumulator and the inner AdamW moments both carry TP layouts
+    acc = opt_state.acc_grads
+    assert acc["blocks_0"]["attn"]["qkv"]["kernel"].sharding.spec == P(None, "model")
+    mu = opt_state.inner_opt_state[0].mu
+    assert mu["blocks_0"]["mlp"]["fc2"]["kernel"].sharding.spec == P("model", None)
+    state = state.replace(params=params, opt_state=opt_state)
+    raw = make_train_step(model, tx, mcfg, use_mixup=False, donate=False, jit=False)
+    par = make_parallel_train_step(raw, mesh)
+    batch = shard_batch(_batch(rng_np), mesh)
+    # the parallel step donates its input state: snapshot before stepping
+    p0 = np.asarray(jax.device_get(state.params["cls_token"]))
+    st1, m1 = par(state, batch, jax.random.PRNGKey(1))
+    p1 = np.asarray(jax.device_get(st1.params["cls_token"]))
+    st2, m2 = par(st1, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    # after micro-step 1 params are unchanged; after micro-step 2 they move
+    p2 = np.asarray(jax.device_get(st2.params["cls_token"]))
+    np.testing.assert_array_equal(p0, p1)
+    assert not np.array_equal(p1, p2)
