@@ -35,7 +35,23 @@ from passt_tpu.ops.frontend import MelConfig
 
 MANIFEST_SUFFIX = ".passt.json"
 ARTIFACT_SUFFIX = ".passt.hlo"
+PARAMS_SUFFIX = ".params.npz"
 
+
+
+def _derive_seconds(input_tdim: int, mel_cfg) -> float:
+    """The arch's natural clip length, rounded UP to the next 0.1 s.
+
+    tdim·hop/sr alone gives 9.98 s for the flagship (its 998-frame grid is
+    a *slice* of a 10-second mel — reference ex_audioset input_tdim=998
+    with clip_length=10), which would silently shrink the artifact's input
+    contract below the conventional clip length; rounding up restores
+    10.0 / 20.0 / 30.0 s exactly for every zoo arch, and the frontend's
+    ``[:input_tdim]`` frame slice absorbs the extra frames."""
+    import math
+
+    raw = input_tdim * mel_cfg.hopsize / mel_cfg.sr
+    return math.ceil(raw * 10.0 - 1e-9) / 10.0
 
 
 def _prepare_mel(mel_cfg: Optional[MelConfig], n_mels: int) -> MelConfig:
@@ -60,9 +76,12 @@ def _export_and_write(
     n_samples: int,
     mel_cfg: MelConfig,
     manifest_fields: dict,
+    extra_specs: Sequence = (),
 ) -> Tuple[str, str]:
     """Shared export tail: resolve the batch dim (symbolic name or fixed
-    positive int), lower for the platforms, and write artifact + manifest."""
+    positive int), lower for the platforms, and write artifact + manifest.
+    ``extra_specs`` are leading argument specs (e.g. an external-weights
+    param tree) placed before the wave spec."""
     from jax import export as jexport
 
     if batch is None:
@@ -75,7 +94,7 @@ def _export_and_write(
             raise ValueError(f"fixed batch must be >= 1, got {batch}")
         b_dim = batch
     spec = jax.ShapeDtypeStruct((b_dim, n_samples), jnp.float32)
-    exported = jexport.export(fn, platforms=tuple(platforms))(spec)
+    exported = jexport.export(fn, platforms=tuple(platforms))(*extra_specs, spec)
 
     artifact = out_path + ARTIFACT_SUFFIX
     manifest = out_path + MANIFEST_SUFFIX
@@ -117,6 +136,7 @@ def export_inference(
     batch: Optional[str] = "b",
     rng: Optional[jax.Array] = None,
     mel_cfg: Optional[MelConfig] = None,
+    bake_weights: bool = True,
     **overrides,
 ) -> Tuple[str, str]:
     """Export one registry arch (optionally with ported weights) to a
@@ -157,6 +177,7 @@ def export_inference(
         seconds=seconds,
         batch=batch,
         mel_cfg=mel_cfg,
+        bake_weights=bake_weights,
         manifest_extra={"arch": arch, "pretrained": checkpoint_path is not None},
     )
 
@@ -171,20 +192,47 @@ def export_model(
     batch: Optional[str] = "b",
     mel_cfg: Optional[MelConfig] = None,
     manifest_extra: Optional[dict] = None,
+    bake_weights: bool = True,
 ) -> Tuple[str, str]:
     """Lower + serialize an already-built (model, params). ``cfg`` is its
     :class:`~passt_tpu.models.passt.PaSSTConfig` (audio-contract metadata).
     Patchout, if configured, is train-only and never enters the exported
     eval graph. ``seconds=None`` derives the wave length from the model's
-    time grid (input_tdim · hop / sr)."""
+    time grid (input_tdim · hop / sr, rounded up to the conventional clip
+    length — see :func:`_derive_seconds`).
+
+    ``bake_weights=True`` (default) freezes the params into the HLO as
+    constants: one file, nothing else to load. ``bake_weights=False``
+    exports ``fn(params, wave)`` and writes the params to
+    ``<out>.params.npz`` instead — the artifact stays a few MB, one
+    artifact serves every checkpoint of the arch, and runtimes whose
+    compile path bounds module size (e.g. remote-compile services reject
+    ~350 MB constant blobs) stay usable. ``load_exported`` handles both
+    transparently via the manifest."""
     mel_cfg = _prepare_mel(mel_cfg, cfg.input_fdim)
     if seconds is None:
-        seconds = cfg.input_tdim * mel_cfg.hopsize / mel_cfg.sr
+        seconds = _derive_seconds(cfg.input_tdim, mel_cfg)
     infer = make_inference_fn(model, mel_cfg, cfg.input_tdim)
 
-    # Bake the weights into the artifact: serving needs one file, not a
-    # checkpoint + a framework. jit-with-closure captures them as constants.
-    fn = jax.jit(lambda wave: infer(params, wave))
+    manifest_fields = {
+        "seconds": seconds,
+        "weights": "baked" if bake_weights else "external",
+        "outputs": {"logits": cfg.num_classes, "features": cfg.embed_dim},
+        "dtype": cfg.dtype,
+        **(manifest_extra or {}),
+    }
+    if bake_weights:
+        # jit-with-closure captures the params as constants in the HLO.
+        fn = jax.jit(lambda wave: infer(params, wave))
+        extra_specs = ()
+    else:
+        from passt_tpu.models.pretrained import save_params_npz
+
+        save_params_npz(out_path + PARAMS_SUFFIX, params)
+        fn = jax.jit(infer)
+        extra_specs = (jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
+        ),)
     return _export_and_write(
         fn,
         out_path,
@@ -192,12 +240,8 @@ def export_model(
         batch,
         int(seconds * mel_cfg.sr),
         mel_cfg,
-        {
-            "seconds": seconds,
-            "outputs": {"logits": cfg.num_classes, "features": cfg.embed_dim},
-            "dtype": cfg.dtype,
-            **(manifest_extra or {}),
-        },
+        manifest_fields,
+        extra_specs=extra_specs,
     )
 
 
@@ -248,7 +292,7 @@ def export_ensemble(
         )
     mel_cfg = _prepare_mel(mel_cfg, cfg.input_fdim)
     if seconds is None:
-        seconds = cfg.input_tdim * mel_cfg.hopsize / mel_cfg.sr
+        seconds = _derive_seconds(cfg.input_tdim, mel_cfg)
 
     def infer(wave):
         mel = log_mel_spectrogram(wave, mel_cfg, train=False)
@@ -276,17 +320,43 @@ def export_ensemble(
 
 def load_exported(out_path: str):
     """Deserialize an exported artifact; returns ``fn(wave) -> (logits,
-    features)``. Needs only jax — not this package's model code."""
+    features)``. Needs only jax — not this package's model code. External-
+    weights artifacts (manifest ``weights: external``) load their params
+    from ``<out>.params.npz`` and pass them as the leading argument."""
     from jax import export as jexport
 
-    path = out_path if out_path.endswith(ARTIFACT_SUFFIX) else out_path + ARTIFACT_SUFFIX
-    with open(path, "rb") as f:
+    base = out_path[: -len(ARTIFACT_SUFFIX)] if out_path.endswith(ARTIFACT_SUFFIX) else out_path
+    with open(base + ARTIFACT_SUFFIX, "rb") as f:
         exported = jexport.deserialize(f.read())
+    params = None
+    if os.path.exists(base + MANIFEST_SUFFIX):
+        if read_manifest(base).get("weights") == "external":
+            params = _load_params_npz_plain(base + PARAMS_SUFFIX)
 
     def fn(wave):
-        return exported.call(jnp.asarray(wave, jnp.float32))
+        wave = jnp.asarray(wave, jnp.float32)
+        if params is not None:
+            return exported.call(params, wave)
+        return exported.call(wave)
 
     return fn
+
+
+def _load_params_npz_plain(path: str) -> dict:
+    """Rebuild the nested param dict from a flat ``a/b/c``-keyed npz —
+    duplicated from models.pretrained so that consuming an artifact truly
+    needs only this module + jax (no model code imports)."""
+    import numpy as np
+
+    out: dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = out
+            parts = key.split("/")
+            for p_ in parts[:-1]:
+                node = node.setdefault(p_, {})
+            node[parts[-1]] = jnp.asarray(data[key])
+    return out
 
 
 def read_manifest(out_path: str) -> dict:

@@ -37,6 +37,10 @@ def main(argv=None):
                    help="override the arch spec's time grid (rarely needed)")
     p.add_argument("--n-classes", type=int, default=None)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--no-bake-weights", action="store_true",
+                   help="export fn(params, wave) + <out>.params.npz instead of baking "
+                        "weights into the HLO (small artifact; one artifact serves any "
+                        "checkpoint of the arch; avoids compile-service size limits)")
     args = p.parse_args(argv)
 
     from passt_tpu.export import export_inference
@@ -76,6 +80,7 @@ def main(argv=None):
             seconds=args.seconds,
             dtype=args.dtype,
             batch=batch,
+            bake_weights=not args.no_bake_weights,
             **overrides,
         )
     print(f"wrote {artifact} ({os.path.getsize(artifact) / 1e6:.1f} MB) and {manifest}")

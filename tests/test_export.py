@@ -183,3 +183,37 @@ def test_export_ensemble_roundtrip(tmp_path):
     finally:
         for arch, spec in saved.items():
             registry.ARCHS[arch] = spec
+
+
+def test_export_external_weights_roundtrip(tmp_path):
+    """bake_weights=False: the artifact stays small (params in a sidecar
+    .npz, loaded transparently by load_exported) and matches the baked
+    variant — needed where a compile service bounds module size (the axon
+    remote-compile rejects ~350 MB constant blobs) and to serve many
+    checkpoints of one arch from one artifact."""
+    import os
+
+    from passt_tpu.export import ARTIFACT_SUFFIX, PARAMS_SUFFIX
+
+    model, params = init_passt(TINY, jax.random.PRNGKey(0))
+    baked = str(tmp_path / "baked")
+    ext = str(tmp_path / "ext")
+    export_model(model, params, TINY, baked, platforms=("cpu",), seconds=0.5,
+                 batch="b", mel_cfg=TINY_MEL)
+    export_model(model, params, TINY, ext, platforms=("cpu",), seconds=0.5,
+                 batch="b", mel_cfg=TINY_MEL, bake_weights=False)
+    assert os.path.exists(ext + PARAMS_SUFFIX)
+    # the external artifact excludes the weight constants (at this tiny
+    # scale the HLO text dominates, so just strictly smaller; at 86M the
+    # difference is ~350 MB vs ~4 MB)
+    assert os.path.getsize(ext + ARTIFACT_SUFFIX) < os.path.getsize(baked + ARTIFACT_SUFFIX)
+    assert read_manifest(ext)["weights"] == "external"
+    assert read_manifest(baked)["weights"] == "baked"
+
+    wave = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 16000)).astype(np.float32)
+    )
+    lb, fb = load_exported(baked)(wave)
+    le, fe = load_exported(ext)(wave)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(le), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fe), atol=1e-6)
