@@ -217,3 +217,41 @@ def test_export_external_weights_roundtrip(tmp_path):
     le, fe = load_exported(ext)(wave)
     np.testing.assert_allclose(np.asarray(lb), np.asarray(le), atol=1e-6)
     np.testing.assert_allclose(np.asarray(fb), np.asarray(fe), atol=1e-6)
+
+
+def test_serve_cli_end_to_end(tmp_path, rng_np):
+    """scripts/serve.py: directory of wavs -> exported artifact ->
+    predictions.npz, with pad/truncate/resample to the artifact's manifest
+    contract and a ragged final batch."""
+    import importlib.util
+    import os
+    import wave as wavemod
+
+    model, params = init_passt(TINY, jax.random.PRNGKey(0))
+    out = str(tmp_path / "art")
+    export_model(model, params, TINY, out, platforms=("cpu",), seconds=0.5,
+                 batch="b", mel_cfg=TINY_MEL)
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    for i, (n, rate) in enumerate([(16000, 32000), (8000, 32000), (8000, 16000)]):
+        x = (rng_np.standard_normal(n) * 3000).astype(np.int16)
+        with wavemod.open(str(wav_dir / f"c{i}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(x.tobytes())
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "serve.py"),
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    out_npz = str(tmp_path / "pred.npz")
+    cli.main(["--artifact", out, "--wav-dir", str(wav_dir),
+              "--out", out_npz, "--batch", "2", "--probs"])
+    data = np.load(out_npz)
+    assert list(data["names"]) == ["c0.wav", "c1.wav", "c2.wav"]
+    assert data["out"].shape == (3, TINY.num_classes)
+    assert ((data["out"] >= 0) & (data["out"] <= 1)).all()  # --probs
