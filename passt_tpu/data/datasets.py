@@ -50,6 +50,18 @@ def epoch_seed(base_seed: int, epoch: int) -> int:
     return base_seed + 1_000_003 * (epoch + 1)
 
 
+def chain_epoch_dependent(ds) -> bool:
+    """True when any dataset in the chain applies epoch-reseeded
+    randomness (``epoch_dependent`` attribute): drives CachedDataset's
+    cache keying — deterministic chains keep one cross-epoch cache."""
+    if getattr(ds, "epoch_dependent", False):
+        return True
+    child = getattr(ds, "dataset", None)
+    if child is not None and chain_epoch_dependent(child):
+        return True
+    return any(chain_epoch_dependent(c) for c in getattr(ds, "datasets", ()) or ())
+
+
 def set_epoch_recursive(ds, epoch: int) -> None:
     """Walk a dataset chain calling ``set_epoch`` wherever defined (the
     reference reloads its DataLoaders every epoch for the same effect,
@@ -158,9 +170,9 @@ def _decode_wav(buf: np.ndarray, target_rate: Optional[int] = None) -> np.ndarra
         raise ValueError(f"unsupported WAV sample width {width}")
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
-    if target_rate is not None and rate != target_rate:
+    if target_rate is not None and rate != target_rate and len(x):
         if rate % target_rate == 0:
-            x = x[:: rate // target_rate]
+            x = stride_resample(x, target_rate, source_rate=rate)
         else:
             t_new = np.arange(int(round(len(x) * target_rate / rate))) * (rate / target_rate)
             x = np.interp(t_new, np.arange(len(x)), x).astype(np.float32)
@@ -272,6 +284,12 @@ class HDF5AudioDataset(AudioDataset):
 
     def set_epoch(self, epoch: int) -> None:
         self._seed = epoch_seed(self._base_seed, epoch)
+
+    @property
+    def epoch_dependent(self) -> bool:
+        """True when items vary with the epoch seed (gain augmentation or
+        random cropping)."""
+        return self.gain_augment_db > 0 or self.crop == "random"
 
     def __len__(self) -> int:
         return self.length
@@ -427,6 +445,7 @@ class MapDataset(AudioDataset):
 
 
 class RollDataset(AudioDataset):
+    epoch_dependent = True
     """Random circular roll wrapper (reference get_roll_func applied via
     PreprocessDataset, audioset/dataset.py:315-329, 355-359); per-item
     deterministic in (seed, epoch, index)."""
@@ -457,13 +476,15 @@ class CachedDataset(AudioDataset):
     helpers/audiodatasets.py:51-173). Useful when the underlying decode or
     augmentation chain is expensive.
 
-    The cache key includes the current epoch seed: an epoch-reseeded
-    augmentation chain below (gain/roll/wavmix all reseed via
-    ``set_epoch``) would otherwise be frozen to whatever epoch first
-    populated the cache, silently training every epoch on identical
-    augmentations. Deterministic chains keep a constant seed and hit one
-    cache; augmented chains get a correct per-epoch cache (at per-epoch
-    disk cost — cache *below* the augmentation wrappers to avoid it)."""
+    The cache key includes the current epoch seed ONLY when the wrapped
+    chain actually applies epoch-reseeded randomness
+    (:func:`chain_epoch_dependent`): an augmented chain (gain/roll/wavmix)
+    would otherwise be frozen to whatever epoch first populated the cache,
+    silently training every epoch on identical augmentations — while a
+    deterministic chain (the class's primary use case) keeps the constant
+    ``s0`` key and hits one cross-epoch cache with no disk growth.
+    Augmented chains pay per-epoch disk; cache *below* the augmentation
+    wrappers to avoid it."""
 
     def __init__(self, dataset: AudioDataset, cache_dir: str):
         import os
@@ -476,7 +497,8 @@ class CachedDataset(AudioDataset):
     def set_epoch(self, epoch: int) -> None:
         # children are reseeded by set_epoch_recursive; mirror the seed
         # derivation used by the chain so the key matches their state
-        self._seed = epoch
+        if chain_epoch_dependent(self.dataset):
+            self._seed = epoch
 
     def __len__(self):
         return len(self.dataset)
@@ -497,6 +519,7 @@ class CachedDataset(AudioDataset):
 
 
 class WavMixDataset(AudioDataset):
+    epoch_dependent = True
     """Waveform mixup ("wavmix", reference MixupDataset,
     audioset/dataset.py:115-140): with probability ``rate``, mean-center and
     blend with a random second clip using ``lambda = max(B(beta,beta),

@@ -30,8 +30,12 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from passt_tpu.hear import default_inference_mel_cfg, make_inference_fn
 from passt_tpu.ops.frontend import MelConfig
+
+# NOTE: passt_tpu.hear (-> models.passt -> flax) is imported lazily inside
+# the export functions: a serving host needs only jax + numpy to call
+# load_exported/read_manifest, and flax must not be a deserialization
+# dependency (tests/test_export.py::test_load_exported_needs_only_jax).
 
 MANIFEST_SUFFIX = ".passt.json"
 ARTIFACT_SUFFIX = ".passt.hlo"
@@ -154,6 +158,8 @@ def export_inference(
     from passt_tpu.models.passt import init_passt
     from passt_tpu.models.registry import ARCHS, get_model_config
 
+    from passt_tpu.hear import default_inference_mel_cfg  # lazy: flax
+
     if "input_tdim" not in overrides and arch in ARCHS:
         overrides["input_tdim"] = ARCHS[arch].input_tdim
     # resolve the config ONCE and build from it directly, so the manifest
@@ -209,6 +215,8 @@ def export_model(
     compile path bounds module size (e.g. remote-compile services reject
     ~350 MB constant blobs) stay usable. ``load_exported`` handles both
     transparently via the manifest."""
+    from passt_tpu.hear import make_inference_fn  # lazy: flax
+
     mel_cfg = _prepare_mel(mel_cfg, cfg.input_fdim)
     if seconds is None:
         seconds = _derive_seconds(cfg.input_tdim, mel_cfg)
@@ -228,6 +236,7 @@ def export_model(
     else:
         from passt_tpu.models.pretrained import save_params_npz
 
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
         save_params_npz(out_path + PARAMS_SUFFIX, params)
         fn = jax.jit(infer)
         extra_specs = (jax.tree.map(
@@ -285,6 +294,8 @@ def export_ensemble(
     pairs = get_ensemble_model(
         arch_list, rng=rng, checkpoint_paths=paths, dtype=dtype, **overrides
     )
+    from passt_tpu.hear import default_inference_mel_cfg  # lazy: flax
+
     cfg = pairs[0][0].cfg  # members share the input geometry (strides differ)
     if mel_cfg is None:
         mel_cfg = dataclasses.replace(
@@ -360,6 +371,9 @@ def _load_params_npz_plain(path: str) -> dict:
 
 
 def read_manifest(out_path: str) -> dict:
+    """Accepts the prefix, the .passt.hlo path, or the .passt.json path."""
+    if out_path.endswith(ARTIFACT_SUFFIX):
+        out_path = out_path[: -len(ARTIFACT_SUFFIX)]
     path = out_path if out_path.endswith(MANIFEST_SUFFIX) else out_path + MANIFEST_SUFFIX
     with open(path) as f:
         return json.load(f)

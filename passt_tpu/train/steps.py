@@ -77,15 +77,21 @@ def make_optimizer(
     optimizer in ``optax.MultiSteps`` so K micro-batch gradients average
     into one update — the schedule still advances once per *update*, so
     the LR trajectory matches a K-times-larger per-step batch."""
-    # Under MultiSteps the inner optimizer's schedule is indexed by UPDATE
-    # count (one per K micro-steps), so its steps-per-epoch shrinks by K —
-    # this keeps the LR-vs-epoch trajectory identical to an unaccumulated
-    # run, and equal to the host-side logged schedule evaluated at the
-    # micro-step index (update/spe_inner == micro_step/spe).
     schedule = make_schedule(
-        lr, max(1, steps_per_epoch // max(grad_accum, 1)), schedule_mode,
-        warm_up_len, ramp_down_start, ramp_down_len, last_lr_value,
+        lr, steps_per_epoch, schedule_mode, warm_up_len, ramp_down_start,
+        ramp_down_len, last_lr_value,
     )
+    if grad_accum > 1:
+        # Under MultiSteps the inner optimizer's schedule is indexed by
+        # UPDATE count (one per K micro-steps). Scaling the index back to
+        # micro-steps (update u happens after exactly u*K micro-batches)
+        # keeps the LR-vs-epoch trajectory identical to an unaccumulated
+        # run for ANY K — including steps_per_epoch not divisible by K,
+        # where dividing steps_per_epoch instead would run the schedule
+        # ahead — and equal to the host-side logged schedule evaluated at
+        # the micro-step index.
+        base_schedule = schedule
+        schedule = lambda u: base_schedule(u * grad_accum)  # noqa: E731
     mu_dtype = None if moments_dtype is None else jnp.dtype(moments_dtype)
     if adamw:
         tx = optax.adamw(schedule, weight_decay=weight_decay, mu_dtype=mu_dtype)

@@ -444,3 +444,38 @@ def test_folder_dataset_resamples_foreign_rates(tmp_path, rng_np):
         wave_i, name, _ = ds[i]
         # every clip must decode to ~1 s at 32 kHz regardless of file rate
         assert abs(len(wave_i) - 32000) <= 1, (name, len(wave_i))
+
+
+def test_cached_dataset_epoch_keying(tmp_path, synth_hdf5):
+    """Deterministic chains keep one cross-epoch cache; augmented chains
+    (chain_epoch_dependent) re-key per epoch so epoch-reseeded
+    augmentations are not frozen by the cache."""
+    import os
+
+    from passt_tpu.data import CachedDataset, WavMixDataset
+    from passt_tpu.data.datasets import chain_epoch_dependent
+
+    det = HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2)
+    assert not chain_epoch_dependent(det)
+    cache_det = CachedDataset(det, str(tmp_path / "det"))
+    cache_det.set_epoch(0)
+    w0 = cache_det[1][0]
+    cache_det.set_epoch(3)
+    w3 = cache_det[1][0]
+    np.testing.assert_array_equal(w0, w3)
+    assert sorted(os.listdir(tmp_path / "det")) == ["s0_1.npz"]  # one key
+
+    from passt_tpu.data.datasets import set_epoch_recursive
+
+    aug = WavMixDataset(
+        HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2, gain_augment_db=7)
+    )
+    assert chain_epoch_dependent(aug)
+    cache_aug = CachedDataset(aug, str(tmp_path / "aug"))
+    set_epoch_recursive(cache_aug, 0)   # what DataLoader.set_epoch does
+    a0 = cache_aug[1][0]
+    set_epoch_recursive(cache_aug, 3)
+    a3 = cache_aug[1][0]
+    assert not np.array_equal(a0, a3)  # augmentation varies across epochs
+    files = sorted(os.listdir(tmp_path / "aug"))
+    assert "s0_1.npz" in files and "s3_1.npz" in files

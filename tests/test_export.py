@@ -255,3 +255,43 @@ def test_serve_cli_end_to_end(tmp_path, rng_np):
     assert list(data["names"]) == ["c0.wav", "c1.wav", "c2.wav"]
     assert data["out"].shape == (3, TINY.num_classes)
     assert ((data["out"] >= 0) & (data["out"] <= 1)).all()  # --probs
+
+
+def test_load_exported_needs_only_jax(tiny_export):
+    """The serving contract: deserializing + calling an artifact must not
+    import flax/torch/model code — a subprocess with those modules blocked
+    loads and executes the artifact."""
+    import subprocess
+    import sys
+    import textwrap
+
+    out, _, _, seconds = tiny_export
+    repo = __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+    code = textwrap.dedent(
+        f"""
+        import os, sys
+        sys.path.insert(0, {repo!r})
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from jax._src import xla_bridge as xb
+        xb._clear_backends()
+        class Blocker:
+            def find_module(self, name, path=None):
+                if name.split(".")[0] in ("flax", "torch", "optax", "orbax"):
+                    raise ImportError(f"blocked: {{name}}")
+        sys.meta_path.insert(0, Blocker())
+        import numpy as np
+        from passt_tpu.export import load_exported, read_manifest
+        m = read_manifest({out!r} + ".passt.hlo")   # .hlo path form accepted
+        fn = load_exported({out!r})
+        logits, feats = fn(np.zeros((2, m["input"]["shape"][1]), np.float32))
+        assert logits.shape == (2, m["outputs"]["logits"])
+        print("jax-only load OK")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "jax-only load OK" in proc.stdout

@@ -355,3 +355,41 @@ def test_grad_accum_matches_large_batch_update():
             np.asarray(params_a["w"]), np.asarray(params_r["w"]),
             rtol=1e-6, atol=1e-7,
         )
+
+
+def test_grad_accum_schedule_exact_for_non_divisible_epochs():
+    """steps_per_epoch=10 with grad_accum=4 (not divisible): the inner
+    schedule is indexed by update count but scaled back to micro-steps
+    (lr at update u == base schedule at micro-step u*K), so the LR-vs-
+    epoch trajectory cannot run ahead the way a floor-divided
+    steps_per_epoch would (10//4=2 updates/epoch vs the true 2.5)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from passt_tpu.train.steps import make_optimizer, make_schedule
+
+    kw = dict(lr=1e-3, schedule_mode="exp_lin", warm_up_len=2,
+              ramp_down_start=5, ramp_down_len=5)
+    base = make_schedule(steps_per_epoch=10, **kw)
+    tx_acc = make_optimizer(steps_per_epoch=10, grad_accum=4,
+                            weight_decay=1e-4, **kw)
+    # reference: plain AdamW whose schedule is base evaluated at u*4
+    tx_ref = optax.adamw(lambda u: base(u * 4), weight_decay=1e-4)
+
+    params_a = {"w": jnp.arange(6.0).reshape(2, 3) / 7.0}
+    params_r = jax.tree_util.tree_map(jnp.copy, params_a)
+    sa, sr = tx_acc.init(params_a), tx_ref.init(params_r)
+    rng = np.random.default_rng(1)
+    for _ in range(8):  # 8 updates = 32 micro-steps, crosses epoch bounds
+        gs = [{"w": jnp.asarray(rng.standard_normal((2, 3)), jnp.float32)}
+              for _ in range(4)]
+        for g in gs:
+            upd, sa = tx_acc.update(g, sa, params_a)
+            params_a = optax.apply_updates(params_a, upd)
+        gm = jax.tree_util.tree_map(lambda *x: sum(x) / 4.0, *gs)
+        upd, sr = tx_ref.update(gm, sr, params_r)
+        params_r = optax.apply_updates(params_r, upd)
+    np.testing.assert_allclose(
+        np.asarray(params_a["w"]), np.asarray(params_r["w"]), rtol=1e-6, atol=1e-7
+    )
