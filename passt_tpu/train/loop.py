@@ -180,12 +180,14 @@ def evaluate(
         metrics["allap"] = metrics["ap"]
     else:
         metrics["ap"] = mean_average_precision(target, out)
-        try:
-            metrics["roc"] = float(np.nanmean(roc_auc(target, out)))
-        except ValueError as e:
-            # single-class / no-positive eval slices can make AUC undefined
-            # (sklearn raises the same); anything else should surface loudly
-            print(f"roc_auc undefined on this eval set ({e}); omitting 'roc'")
+        # roc_auc marks single-sign classes NaN (it never raises); when
+        # EVERY class is undefined (tiny smoke evals), omit the metric with
+        # a log line instead of recording NaN into the epoch record
+        per_class = roc_auc(target, out)
+        if np.isnan(per_class).all():
+            print("roc_auc undefined on this eval set (no two-class labels); omitting 'roc'")
+        else:
+            metrics["roc"] = float(np.nanmean(per_class))
         metrics["allap"] = metrics["ap"]  # single-controller: ap == allap
     return metrics
 
