@@ -65,23 +65,27 @@ class Pool {
       for (int64_t i = 0; i < n; ++i) fn(i);
       return;
     }
-    std::atomic<int64_t> next(0), done(0);
+    // The shard lambdas capture these stack locals by reference, so the
+    // waiter must not return until EVERY submitted shard has finished its
+    // epilogue — waiting on completed-item count alone let the waiter
+    // return (and the stack unwind) while late shards still touched
+    // next/done_mu: a use-after-free when shards > items or on the final
+    // notify. Hence: count finished SHARDS, not items.
+    std::atomic<int64_t> next(0);
     std::mutex done_mu;
     std::condition_variable done_cv;
     int shards = static_cast<int>(workers_.size());
+    int shards_done = 0;  // guarded by done_mu
     for (int s = 0; s < shards; ++s) {
       Submit([&, n] {
         int64_t i;
-        while ((i = next.fetch_add(1)) < n) {
-          fn(i);
-          ++done;
-        }
+        while ((i = next.fetch_add(1)) < n) fn(i);
         std::lock_guard<std::mutex> lk(done_mu);
-        done_cv.notify_one();
+        if (++shards_done == shards) done_cv.notify_one();
       });
     }
     std::unique_lock<std::mutex> lk(done_mu);
-    done_cv.wait(lk, [&] { return done.load() >= n; });
+    done_cv.wait(lk, [&] { return shards_done == shards; });
   }
 
  private:
@@ -108,8 +112,11 @@ class Pool {
 
 Pool* g_pool = nullptr;
 int g_threads = 0;
+std::mutex g_pool_mu;  // guards lazy init (ctypes releases the GIL, so two
+// loader threads can make their first native call concurrently)
 
 Pool& pool() {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
   if (!g_pool) g_pool = new Pool(g_threads);
   return *g_pool;
 }
@@ -137,6 +144,48 @@ struct Rng {
   }
 };
 
+// Circular-roll tmp into dst (shared tail of every assembly path, so the
+// PCM and mp3 paths cannot drift apart).
+void RollInto(float* dst, const std::vector<float>& tmp, int64_t dst_len,
+              int64_t roll) {
+  if (roll == 0) {
+    std::memcpy(dst, tmp.data(), dst_len * sizeof(float));
+  } else {
+    int64_t r = ((roll % dst_len) + dst_len) % dst_len;
+    std::memcpy(dst + r, tmp.data(), (dst_len - r) * sizeof(float));
+    std::memcpy(dst, tmp.data() + (dst_len - r), r * sizeof(float));
+  }
+}
+
+// Per-item augmentation draws, shared by the PCM and mp3 batch paths —
+// draw ORDER is part of the (seed, index) determinism contract.
+void DrawAugment(Rng& rng, int gain_db, int64_t roll_range, int random_crop,
+                 int64_t src_len, int64_t clip_samples, float* gain,
+                 int64_t* roll, int64_t* off) {
+  *gain = 1.0f;
+  if (gain_db > 0) {
+    int64_t g = rng.UniformInt(0, 2 * gain_db - 1) - gain_db;
+    *gain = std::pow(10.0f, static_cast<float>(g) / 20.0f);
+  }
+  *roll = roll_range > 0 ? rng.UniformInt(-roll_range, roll_range) : 0;
+  *off = 0;
+  if (random_crop && src_len > clip_samples) {
+    *off = rng.UniformInt(0, src_len - clip_samples);
+  }
+}
+
+// Crop/pad + gain from a float source, then circular roll.
+void AssembleFromFloat(const float* src, int64_t src_len, float* dst,
+                       int64_t dst_len, float gain, int64_t roll,
+                       int64_t crop_offset) {
+  std::vector<float> tmp(dst_len);
+  int64_t n = std::min(src_len - crop_offset, dst_len);
+  if (n < 0) n = 0;
+  for (int64_t i = 0; i < n; ++i) tmp[i] = src[crop_offset + i] * gain;
+  for (int64_t i = n; i < dst_len; ++i) tmp[i] = 0.0f;
+  RollInto(dst, tmp, dst_len, roll);
+}
+
 void DecodeOne(const int16_t* src, int64_t src_len, float* dst, int64_t dst_len,
                float gain, int64_t roll, int64_t crop_offset) {
   // Head/offset crop + pad, int16 -> f32, gain, then circular roll, fused.
@@ -146,13 +195,7 @@ void DecodeOne(const int16_t* src, int64_t src_len, float* dst, int64_t dst_len,
   if (n < 0) n = 0;
   for (int64_t i = 0; i < n; ++i) tmp[i] = src[crop_offset + i] * scale;
   for (int64_t i = n; i < dst_len; ++i) tmp[i] = 0.0f;
-  if (roll == 0) {
-    std::memcpy(dst, tmp.data(), dst_len * sizeof(float));
-  } else {
-    int64_t r = ((roll % dst_len) + dst_len) % dst_len;
-    std::memcpy(dst + r, tmp.data(), (dst_len - r) * sizeof(float));
-    std::memcpy(dst, tmp.data() + (dst_len - r), r * sizeof(float));
-  }
+  RollInto(dst, tmp, dst_len, roll);
 }
 
 // ---------------------------------------------------------------------------
@@ -307,7 +350,15 @@ int64_t DecodeMp3One(const uint8_t* data, int64_t size, float* out,
         break;
       default:  // decode error
         m.delete_(h);
-        return total > 0 ? total : -1;
+        // Partial decode (truncated/corrupt tail — the reference's PyAV
+        // path is equally tolerant): the rate IS known once any frame was
+        // emitted, and callers read *rate_out whenever the return is
+        // positive, so it must be set here too.
+        if (total > 0 && rate > 0) {
+          if (rate_out) *rate_out = static_cast<int32_t>(rate);
+          return total;
+        }
+        return -1;
     }
   }
   m.close(h);
@@ -323,6 +374,9 @@ extern "C" {
 
 // Configure the worker pool (call before first batch; 0 = inline).
 void hostplane_init(int n_threads) {
+  // Contract: call before the first batch; must not run concurrently with
+  // an in-flight ParallelFor (the lock only serializes against lazy init).
+  std::lock_guard<std::mutex> lk(g_pool_mu);
   delete g_pool;
   g_pool = nullptr;
   g_threads = n_threads;
@@ -349,16 +403,10 @@ void hostplane_assemble_batch(const int16_t** srcs, const int64_t* src_lens,
                               uint64_t seed) {
   pool().ParallelFor(batch, [&](int64_t b) {
     Rng rng(seed * 0x100000001B3ull + static_cast<uint64_t>(b));
-    float gain = 1.0f;
-    if (gain_db > 0) {
-      int64_t g = rng.UniformInt(0, 2 * gain_db - 1) - gain_db;
-      gain = std::pow(10.0f, static_cast<float>(g) / 20.0f);
-    }
-    int64_t roll = roll_range > 0 ? rng.UniformInt(-roll_range, roll_range) : 0;
-    int64_t off = 0;
-    if (random_crop && src_lens[b] > clip_samples) {
-      off = rng.UniformInt(0, src_lens[b] - clip_samples);
-    }
+    float gain;
+    int64_t roll, off;
+    DrawAugment(rng, gain_db, roll_range, random_crop, src_lens[b],
+                clip_samples, &gain, &roll, &off);
     DecodeOne(srcs[b], src_lens[b], out + b * clip_samples, clip_samples, gain,
               roll, off);
   });
@@ -457,29 +505,11 @@ void hostplane_assemble_mp3_batch(const uint8_t** datas, const int64_t* sizes,
       lens[b] = n;
     }
     Rng rng(seed * 0x100000001B3ull + static_cast<uint64_t>(b));
-    float gain = 1.0f;
-    if (gain_db > 0) {
-      int64_t g = rng.UniformInt(0, 2 * gain_db - 1) - gain_db;
-      gain = std::pow(10.0f, static_cast<float>(g) / 20.0f);
-    }
-    int64_t roll = roll_range > 0 ? rng.UniformInt(-roll_range, roll_range) : 0;
-    int64_t off = 0;
-    if (random_crop && n > clip_samples) {
-      off = rng.UniformInt(0, n - clip_samples);
-    }
-    // Same fused pad/crop+gain+roll as DecodeOne, on float input.
-    std::vector<float> tmp(clip_samples);
-    int64_t m = std::min(n - off, clip_samples);
-    if (m < 0) m = 0;
-    for (int64_t i = 0; i < m; ++i) tmp[i] = wav[off + i] * gain;
-    for (int64_t i = m; i < clip_samples; ++i) tmp[i] = 0.0f;
-    if (roll == 0) {
-      std::memcpy(dst, tmp.data(), clip_samples * sizeof(float));
-    } else {
-      int64_t r = ((roll % clip_samples) + clip_samples) % clip_samples;
-      std::memcpy(dst + r, tmp.data(), (clip_samples - r) * sizeof(float));
-      std::memcpy(dst, tmp.data() + (clip_samples - r), r * sizeof(float));
-    }
+    float gain;
+    int64_t roll, off;
+    DrawAugment(rng, gain_db, roll_range, random_crop, n, clip_samples,
+                &gain, &roll, &off);
+    AssembleFromFloat(wav.data(), n, dst, clip_samples, gain, roll, off);
   });
 }
 

@@ -63,7 +63,11 @@ def timed(fn, *args, steps=STEPS, reps=2):
         t1 = time.perf_counter()
         float(g(jnp.int32(3 * steps), *args))
         t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / (2 * steps))
+        dt = ((t2 - t1) - (t1 - t0)) / (2 * steps)
+        if dt > 0:  # timing noise can make the difference negative for
+            best = min(best, dt)  # cheap stages; discard those reps
+    if best == float("inf"):
+        raise RuntimeError("all timing reps were noise-dominated; rerun on a quiet machine")
     return best
 
 

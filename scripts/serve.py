@@ -63,7 +63,10 @@ def main(argv=None):
         logits = logits[: len(chunk)]
         if args.probs:
             logits = 1.0 / (1.0 + np.exp(-logits))
-        names.extend(os.path.basename(c) for c in chunk)
+        # relpath (not basename): recursive globs can hold same-named
+        # files in different subdirectories and predictions must stay
+        # attributable
+        names.extend(os.path.relpath(c, args.wav_dir) for c in chunk)
         outs.append(logits)
         print(f"{min(start + args.batch, len(files))}/{len(files)}", flush=True)
 

@@ -55,15 +55,21 @@ def transcode_tree(source: str, out: str, folders, workers: int, sample_rate: in
             "already-encoded mp3 bytes with pack_bytes_hdf5."
         )
     jobs = []
+    skipped = 0
     for fol in folders:
         src_dir = os.path.join(source, fol) if fol else source
         dst_dir = os.path.join(out, fol) if fol else out
         os.makedirs(dst_dir, exist_ok=True)
         for f in sorted(pathlib.Path(src_dir).glob("*.wav")):
-            jobs.append(
-                (str(f), os.path.join(dst_dir, f.stem + ".mp3"), sample_rate)
-            )
-    print(f"{len(jobs)} files -> {out}")
+            dst = os.path.join(dst_dir, f.stem + ".mp3")
+            if os.path.exists(dst):
+                # resume support: ffmpeg -n exits nonzero on existing
+                # outputs, which would count every done file as a failure
+                # on a rerun; skip them up front instead
+                skipped += 1
+                continue
+            jobs.append((str(f), dst, sample_rate))
+    print(f"{len(jobs)} files -> {out}" + (f" ({skipped} already done, skipped)" if skipped else ""))
     errors = []
     with multiprocessing.Pool(processes=workers) as pool:
         for i, err in enumerate(pool.imap_unordered(_one, jobs, chunksize=16)):
@@ -89,9 +95,7 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=20)  # reference uses 20
     p.add_argument("--sample-rate", type=int, default=32000)
     a = p.parse_args(argv)
-    folders = [f for f in a.folders] or [""]
-    if folders == [""] or a.folders == [""]:
-        folders = [""]
+    folders = a.folders or [""]
     rc = transcode_tree(a.source, a.out, folders, a.workers, a.sample_rate)
     sys.exit(1 if rc else 0)
 

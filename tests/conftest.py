@@ -26,6 +26,19 @@ assert jax.default_backend() == "cpu" and jax.device_count() >= 8
 import numpy as np
 import pytest
 
+# Rebuild the native host plane when its source is newer than the tracked
+# .so (a stale binary would silently test old C++ — native.load() dlopens
+# whatever file exists). Best-effort: tests that need it skip when absent.
+_native_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+_so = os.path.join(_native_dir, "libhostplane.so")
+_cpp = os.path.join(_native_dir, "hostplane.cpp")
+if os.path.exists(_cpp) and (
+    not os.path.exists(_so) or os.path.getmtime(_cpp) > os.path.getmtime(_so)
+):
+    import subprocess
+
+    subprocess.run(["make", "-C", _native_dir], capture_output=True)
+
 
 @pytest.fixture(scope="session")
 def rng_np():

@@ -154,3 +154,18 @@ def test_native_builder_rejects_rate_mismatch(tmp_path):
     builder = NativeBatchBuilder(ds)
     with pytest.raises(ValueError, match="native rate"):
         builder([0])
+
+
+def test_truncated_mp3_partial_decode_reports_rate():
+    """A clip cut mid-stream (truncated download — common in AudioSet
+    scrapes) decodes partially; the contract is: positive return => BOTH
+    samples and a valid rate (the rate was previously left uninitialized
+    on the mid-stream-error path, feeding garbage into the batch path's
+    rate check)."""
+    data = open(MP3_MUSIC, "rb").read()
+    full, full_rate = native.decode_mp3(data)
+    cut = data[: len(data) // 3]
+    wav, rate = native.decode_mp3(cut)
+    assert rate == full_rate  # the format was announced before the cut
+    assert 0 < len(wav) < len(full)
+    assert np.isfinite(wav).all()

@@ -77,3 +77,30 @@ def test_unpack_targets_matches_numpy(rng_np):
     got = native.unpack_targets(packed, 527)
     ref = np.unpackbits(packed, axis=-1, count=527).astype(np.float32)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pool_more_shards_than_items():
+    """Regression for the ParallelFor stack use-after-free: with a pool
+    wider than the work list (8 threads, 2 items), shard closures used to
+    outlive the waiter's stack frame. 50 repetitions on an 8-wide pool —
+    a regression shows up as corruption/crash here."""
+    from passt_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native plane not built")
+    native.load(n_threads=8)
+    try:
+        rng = np.random.default_rng(0)
+        srcs = [
+            (rng.standard_normal(5000) * 10000).astype(np.int16) for _ in range(2)
+        ]
+        expected = None
+        for _ in range(50):
+            out = native.assemble_batch(srcs, clip_samples=4000, gain_db=0,
+                                        roll_range=0, random_crop=False, seed=7)
+            assert out.shape == (2, 4000)
+            if expected is None:
+                expected = out.copy()
+            np.testing.assert_array_equal(out, expected)  # deterministic
+    finally:
+        native.load(n_threads=None)  # restore default pool width
