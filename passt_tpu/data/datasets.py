@@ -179,6 +179,11 @@ def _decode_wav(buf: np.ndarray, target_rate: Optional[int] = None) -> np.ndarra
     return x
 
 
+#: Public alias: the WAV decoder is consumed outside the dataset layer
+#: (scripts/serve.py feeds exported artifacts from raw files).
+decode_wav = _decode_wav
+
+
 def _decode_mp3(buf: np.ndarray) -> np.ndarray:
     """mp3 bytes -> float32 mono waveform at the file's native rate, via the
     native host plane + system libmpg123 (the reference's PyAV decode_mp3,

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 from typing import Optional, Sequence, Tuple
 
@@ -42,7 +43,6 @@ ARTIFACT_SUFFIX = ".passt.hlo"
 PARAMS_SUFFIX = ".params.npz"
 
 
-
 def _derive_seconds(input_tdim: int, mel_cfg) -> float:
     """The arch's natural clip length, rounded UP to the next 0.1 s.
 
@@ -52,8 +52,6 @@ def _derive_seconds(input_tdim: int, mel_cfg) -> float:
     contract below the conventional clip length; rounding up restores
     10.0 / 20.0 / 30.0 s exactly for every zoo arch, and the frontend's
     ``[:input_tdim]`` frame slice absorbs the extra frames."""
-    import math
-
     raw = input_tdim * mel_cfg.hopsize / mel_cfg.sr
     return math.ceil(raw * 10.0 - 1e-9) / 10.0
 
@@ -340,9 +338,11 @@ def load_exported(out_path: str):
     with open(base + ARTIFACT_SUFFIX, "rb") as f:
         exported = jexport.deserialize(f.read())
     params = None
-    if os.path.exists(base + MANIFEST_SUFFIX):
-        if read_manifest(base).get("weights") == "external":
-            params = _load_params_npz_plain(base + PARAMS_SUFFIX)
+    if (
+        os.path.exists(base + MANIFEST_SUFFIX)
+        and read_manifest(base).get("weights") == "external"
+    ):
+        params = _load_params_npz_plain(base + PARAMS_SUFFIX)
 
     def fn(wave):
         wave = jnp.asarray(wave, jnp.float32)

@@ -30,7 +30,7 @@ def main(argv=None):
     p.add_argument("--probs", action="store_true", help="store sigmoid probabilities instead of logits")
     args = p.parse_args(argv)
 
-    from passt_tpu.data.datasets import _decode_wav, pad_or_truncate
+    from passt_tpu.data.datasets import decode_wav, pad_or_truncate
     from passt_tpu.export import load_exported, read_manifest
 
     manifest = read_manifest(args.artifact)
@@ -51,7 +51,7 @@ def main(argv=None):
         waves = []
         for path in chunk:
             with open(path, "rb") as f:
-                w = _decode_wav(np.frombuffer(f.read(), np.uint8), target_rate=rate)
+                w = decode_wav(np.frombuffer(f.read(), np.uint8), target_rate=rate)
             waves.append(pad_or_truncate(w, n_samples))
         batch = np.stack(waves)
         if fixed_batch is not None and len(batch) < fixed_batch:

@@ -261,12 +261,13 @@ def test_load_exported_needs_only_jax(tiny_export):
     """The serving contract: deserializing + calling an artifact must not
     import flax/torch/model code — a subprocess with those modules blocked
     loads and executes the artifact."""
+    import os
     import subprocess
     import sys
     import textwrap
 
     out, _, _, seconds = tiny_export
-    repo = __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = textwrap.dedent(
         f"""
         import os, sys
