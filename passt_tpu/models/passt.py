@@ -84,6 +84,9 @@ class PaSSTConfig:
     # 35.3 ms at B=12, measured; see PARITY.md "Performance notes").
     remat: bool = False  # rematerialize blocks in backward (HBM-traffic relief)
     softmax_fp32: bool = True  # fp32 attention softmax (False: bf16, faster)
+    attn_impl: str = "auto"  # "fused" (Pallas VMEM-resident kernel, fp32
+    # softmax, recompute-in-backward — ops/pallas/attention.py), "xla"
+    # (einsum composition), or "auto": fused on TPU, xla elsewhere.
     plus1_attn: bool = False  # "+1 trick": softmax over [logits, 0] so rows
     # may sum to <1 (quiet attention; reference PLUS1_TRICK module global,
     # passt.py:295 + 349-355 — hardcoded False there, a real option here)
@@ -106,6 +109,18 @@ class PaSSTConfig:
     @property
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def use_fused_attn(self) -> bool:
+        """Resolve ``attn_impl`` ("auto": Pallas kernel on TPU only — off-TPU
+        the kernel would run interpreted, correct but slow)."""
+        if self.attn_impl == "auto":
+            return jax.default_backend() == "tpu"
+        if self.attn_impl not in ("fused", "xla"):
+            raise ValueError(
+                f"attn_impl must be 'auto'|'fused'|'xla', got {self.attn_impl!r}"
+            )
+        return self.attn_impl == "fused"
 
     @property
     def gelu_approximate(self) -> bool:
@@ -192,7 +207,15 @@ class Mlp(nn.Module):
 
 
 class Attention(nn.Module):
-    """Fused-QKV multi-head self-attention (reference passt.py:331-361)."""
+    """Fused-QKV multi-head self-attention (reference passt.py:331-361).
+
+    ``fused=True`` routes through the Pallas VMEM-resident kernel
+    (:func:`passt_tpu.ops.pallas.attention.fused_attention`) whenever the
+    geometry supports it and attention dropout is inactive; the XLA einsum
+    composition below remains the behavioral reference and the fallback.
+    The fused kernel always computes fp32 scores/softmax (i.e. it implies
+    ``softmax_fp32`` semantics — measured neutral vs bf16 softmax anyway,
+    see PARITY.md)."""
 
     dim: int
     num_heads: int
@@ -202,9 +225,12 @@ class Attention(nn.Module):
     dtype: Dtype
     softmax_fp32: bool = True
     plus1: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from passt_tpu.ops.pallas.attention import fused_attention, kernel_supports
+
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
@@ -214,6 +240,19 @@ class Attention(nn.Module):
         )(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, Dh]
+
+        use_fused = (
+            self.fused
+            and not (train and self.attn_drop > 0.0)
+            and kernel_supports(n, head_dim, backward=train)
+        )
+        if use_fused:
+            out = fused_attention(q, k, v, scale=scale, plus1=self.plus1)
+            out = out.reshape(b, n, c)
+            out = nn.Dense(
+                self.dim, dtype=self.dtype, kernel_init=trunc_normal_init(), name="proj"
+            )(out)
+            return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         if self.plus1:
@@ -253,6 +292,7 @@ class Block(nn.Module):
     softmax_fp32: bool = True
     plus1: bool = False
     gelu_approximate: bool = False
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -265,7 +305,7 @@ class Block(nn.Module):
         h = Attention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
             dtype=self.dtype, softmax_fp32=self.softmax_fp32, plus1=self.plus1,
-            name="attn",
+            fused=self.fused_attn, name="attn",
         )(h.astype(self.dtype), train)
         x = x + maybe_drop_path(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
@@ -405,7 +445,7 @@ class PaSST(nn.Module):
                 cfg.drop_rate, cfg.attn_drop_rate, float(dpr[i]),
                 dtype=dtype, softmax_fp32=cfg.softmax_fp32,
                 plus1=cfg.plus1_attn, gelu_approximate=cfg.gelu_approximate,
-                name=f"blocks_{i}",
+                fused_attn=cfg.use_fused_attn, name=f"blocks_{i}",
             )(x, train)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
