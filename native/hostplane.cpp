@@ -113,13 +113,32 @@ class Pool {
 Pool* g_pool = nullptr;
 int g_threads = 0;
 std::mutex g_pool_mu;  // guards lazy init (ctypes releases the GIL, so two
-// loader threads can make their first native call concurrently)
+// loader threads can make their first native call concurrently) AND the
+// in-flight lease count below
+int64_t g_inflight = 0;              // leases outstanding (guarded by g_pool_mu)
+std::condition_variable g_idle_cv;   // signaled when g_inflight drops to 0
 
-Pool& pool() {
-  std::lock_guard<std::mutex> lk(g_pool_mu);
-  if (!g_pool) g_pool = new Pool(g_threads);
-  return *g_pool;
-}
+// Pins the pool for the duration of one batch call: hostplane_init waits
+// for all leases to drain before deleting the pool, so a concurrent
+// re-init can never pull the workers out from under a running ParallelFor
+// (previously a documented-but-unenforced contract).
+class PoolLease {
+ public:
+  PoolLease() {
+    std::lock_guard<std::mutex> lk(g_pool_mu);
+    if (!g_pool) g_pool = new Pool(g_threads);
+    pool_ = g_pool;
+    ++g_inflight;
+  }
+  ~PoolLease() {
+    std::lock_guard<std::mutex> lk(g_pool_mu);
+    if (--g_inflight == 0) g_idle_cv.notify_all();
+  }
+  Pool* operator->() { return pool_; }
+
+ private:
+  Pool* pool_;
+};
 
 // xorshift128+ per-item RNG seeded deterministically (seed, item index).
 struct Rng {
@@ -374,9 +393,10 @@ extern "C" {
 
 // Configure the worker pool (call before first batch; 0 = inline).
 void hostplane_init(int n_threads) {
-  // Contract: call before the first batch; must not run concurrently with
-  // an in-flight ParallelFor (the lock only serializes against lazy init).
-  std::lock_guard<std::mutex> lk(g_pool_mu);
+  // Drains in-flight batch calls (PoolLease) before swapping the pool, so
+  // re-init during a running ParallelFor is safe (it briefly blocks).
+  std::unique_lock<std::mutex> lk(g_pool_mu);
+  g_idle_cv.wait(lk, [] { return g_inflight == 0; });
   delete g_pool;
   g_pool = nullptr;
   g_threads = n_threads;
@@ -401,7 +421,8 @@ void hostplane_assemble_batch(const int16_t** srcs, const int64_t* src_lens,
                               float* out, int64_t batch, int64_t clip_samples,
                               int gain_db, int64_t roll_range, int random_crop,
                               uint64_t seed) {
-  pool().ParallelFor(batch, [&](int64_t b) {
+  PoolLease lease;
+  lease->ParallelFor(batch, [&](int64_t b) {
     Rng rng(seed * 0x100000001B3ull + static_cast<uint64_t>(b));
     float gain;
     int64_t roll, off;
@@ -418,7 +439,8 @@ void hostplane_assemble_batch(const int16_t** srcs, const int64_t* src_lens,
 // apply[b] in {0,1}; lam[b] precomputed by the caller (Beta(2,2) max-trick).
 void hostplane_wavmix(float* out, const float* other, const float* lam,
                       const uint8_t* apply, int64_t batch, int64_t t) {
-  pool().ParallelFor(batch, [&](int64_t b) {
+  PoolLease lease;
+  lease->ParallelFor(batch, [&](int64_t b) {
     if (!apply[b]) return;
     float* x = out + b * t;
     const float* y = other + b * t;
@@ -441,7 +463,8 @@ void hostplane_wavmix(float* out, const float* other, const float* lam,
 // float32 (reference np.unpackbits, audioset/dataset.py:197-199).
 void hostplane_unpack_targets(const uint8_t* packed, float* out, int64_t batch,
                               int64_t packed_width, int64_t classes) {
-  pool().ParallelFor(batch, [&](int64_t b) {
+  PoolLease lease;
+  lease->ParallelFor(batch, [&](int64_t b) {
     const uint8_t* src = packed + b * packed_width;
     float* dst = out + b * classes;
     for (int64_t c = 0; c < classes; ++c) {
@@ -470,7 +493,8 @@ int64_t hostplane_decode_mp3(const uint8_t* data, int64_t size, float* out,
 void hostplane_decode_mp3_batch(const uint8_t** datas, const int64_t* sizes,
                                 float** outs, const int64_t* caps,
                                 int64_t* lens, int32_t* rates, int64_t batch) {
-  pool().ParallelFor(batch, [&](int64_t b) {
+  PoolLease lease;
+  lease->ParallelFor(batch, [&](int64_t b) {
     lens[b] = DecodeMp3One(datas[b], sizes[b], outs[b], caps[b], &rates[b]);
   });
 }
@@ -486,7 +510,8 @@ void hostplane_assemble_mp3_batch(const uint8_t** datas, const int64_t* sizes,
                                   int64_t roll_range, int random_crop,
                                   uint64_t seed, int32_t* rates,
                                   int64_t* lens) {
-  pool().ParallelFor(batch, [&](int64_t b) {
+  PoolLease lease;
+  lease->ParallelFor(batch, [&](int64_t b) {
     float* dst = out + b * clip_samples;
     // Decode the whole clip first (random_crop needs the true length).
     std::vector<float> wav(

@@ -184,17 +184,31 @@ def _decode_wav(buf: np.ndarray, target_rate: Optional[int] = None) -> np.ndarra
 decode_wav = _decode_wav
 
 
-def _decode_mp3(buf: np.ndarray) -> np.ndarray:
+def _decode_mp3(buf: np.ndarray, expected_rate: Optional[int] = None) -> np.ndarray:
     """mp3 bytes -> float32 mono waveform at the file's native rate, via the
     native host plane + system libmpg123 (the reference's PyAV decode_mp3,
     audioset/dataset.py:55-70, decoded the same float32-at-native-rate way;
-    verified against an independent decoder in tests/test_mp3.py). The rate
-    is dropped to match the reference contract — AudioSet-family containers
-    are 32 kHz and downstream ``stride_resample`` assumes that source rate."""
+    verified against an independent decoder in tests/test_mp3.py).
+
+    ``expected_rate`` (the container's ``sample_rate`` attr, which downstream
+    ``stride_resample`` assumes) is validated against the decoded native
+    rate: a mismatched mp3 (e.g. 44.1 kHz in a 32 kHz container) would
+    otherwise be silently time/pitch-warped — the native batch plane raises
+    on the same condition (native_loader.py), and the two paths must agree."""
     from passt_tpu.data import native
 
-    wav, _rate = native.decode_mp3(buf)
+    wav, rate = native.decode_mp3(buf)
+    if expected_rate is not None and rate != expected_rate:
+        raise ValueError(
+            f"mp3 native rate {rate} != container sample_rate attr "
+            f"{expected_rate}; repack the container or fix its attr"
+        )
     return wav
+
+
+#: Decoders with this attribute receive ``expected_rate=<container attr>``
+#: so they can reject rate-mismatched payloads instead of warping them.
+_decode_mp3.expects_source_rate = True  # type: ignore[attr-defined]
 
 
 DECODERS: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
@@ -343,7 +357,11 @@ class HDF5AudioDataset(AudioDataset):
                 f"no decoder registered for column {self.audio_column!r}; "
                 "use passt_tpu.data.register_decoder"
             )
-        waveform = decoder(f[self.audio_column][index]).astype(np.float32)
+        raw = f[self.audio_column][index]
+        if getattr(decoder, "expects_source_rate", False):
+            waveform = decoder(raw, expected_rate=self.source_rate).astype(np.float32)
+        else:
+            waveform = decoder(raw).astype(np.float32)
         rng = item_rng(self._seed, index)
         if self.gain_augment_db:
             waveform = gain_augment(waveform, self.gain_augment_db, rng)
@@ -487,7 +505,7 @@ class CachedDataset(AudioDataset):
     would otherwise be frozen to whatever epoch first populated the cache,
     silently training every epoch on identical augmentations — while a
     deterministic chain (the class's primary use case) keeps the constant
-    ``s0`` key and hits one cross-epoch cache with no disk growth.
+    ``sinit`` key and hits one cross-epoch cache with no disk growth.
     Augmented chains pay per-epoch disk; cache *below* the augmentation
     wrappers to avoid it."""
 
@@ -496,7 +514,11 @@ class CachedDataset(AudioDataset):
 
         self.dataset = dataset
         self.cache_dir = cache_dir
-        self._seed = 0
+        # Sentinel until set_epoch is first called: an epoch-dependent
+        # chain's augmentation state before set_epoch (constructor seed)
+        # differs from after set_epoch(0) (epoch_seed(base, 0)), so the two
+        # must not share a cache key.
+        self._seed: object = "init"
         os.makedirs(cache_dir, exist_ok=True)
 
     def set_epoch(self, epoch: int) -> None:

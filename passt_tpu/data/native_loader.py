@@ -24,7 +24,7 @@ the distributions and the (seed, epoch)-determinism are the same.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -39,11 +39,17 @@ _WAVMIX_SALT = 0x5BF03635  # same stream id as WavMixDataset.mix_plan
 
 
 class NativeBatchBuilder:
-    """fn(indices) -> batch dict, fused in C++ (see module docstring)."""
+    """fn(indices) -> batch dict, fused in C++ (see module docstring).
+
+    ``dataset`` may be a single :class:`HDF5AudioDataset` or a sequence of
+    them — the flagship AudioSet-2M recipe concatenates the balanced and
+    unbalanced containers (reference audioset/dataset.py:239-243, 348-360)
+    and this builder routes each batch's global indices to the owning
+    container with one fancy-indexed read per container per batch."""
 
     def __init__(
         self,
-        dataset: HDF5AudioDataset,
+        dataset: Union[HDF5AudioDataset, Sequence[HDF5AudioDataset]],
         *,
         roll_shift_range: int = 0,
         wavmix: bool = False,
@@ -55,29 +61,52 @@ class NativeBatchBuilder:
     ):
         if not native.available():
             raise RuntimeError("libhostplane.so not built (make -C native)")
-        if not isinstance(dataset, HDF5AudioDataset):
-            raise TypeError("NativeBatchBuilder feeds on a plain HDF5AudioDataset")
-        if dataset.audio_column == "mp3":
-            if not native.mp3_available():
-                raise RuntimeError(
-                    "mp3 containers need the native plane with libmpg123 "
-                    "(make -C native; libmpg123.so.0 on the loader path)"
+        datasets: List[HDF5AudioDataset] = (
+            [dataset] if isinstance(dataset, HDF5AudioDataset) else list(dataset)
+        )
+        for ds in datasets:
+            if not isinstance(ds, HDF5AudioDataset):
+                raise TypeError("NativeBatchBuilder feeds on plain HDF5AudioDatasets")
+            if ds.audio_column == "mp3":
+                if not native.mp3_available():
+                    raise RuntimeError(
+                        "mp3 containers need the native plane with libmpg123 "
+                        "(make -C native; libmpg123.so.0 on the loader path)"
+                    )
+            elif ds.audio_column != "raw_i16":
+                raise ValueError(
+                    "native assembly needs an int16 PCM or mp3 column, got "
+                    f"{ds.audio_column!r}"
                 )
-        elif dataset.audio_column != "raw_i16":
-            raise ValueError(
-                "native assembly needs an int16 PCM or mp3 column, got "
-                f"{dataset.audio_column!r}"
+            if ds.clip_samples is None:
+                raise ValueError("native assembly needs a fixed clip_length")
+            if ds.sample_rate != ds.source_rate:
+                # C++ plane has no stride-resample; 16/8 kHz presets on 32 kHz
+                # containers keep the numpy path
+                raise ValueError(
+                    "native assembly needs sample_rate == container rate "
+                    f"({ds.sample_rate} != {ds.source_rate})"
+                )
+        first = datasets[0]
+        for ds in datasets[1:]:
+            same = (
+                ds.audio_column == first.audio_column
+                and ds.clip_samples == first.clip_samples
+                and ds.sample_rate == first.sample_rate
+                and ds.packed_targets == first.packed_targets
+                and ds.classes_num == first.classes_num
+                and ds.crop == first.crop
+                and ds.gain_augment_db == first.gain_augment_db
             )
-        if dataset.clip_samples is None:
-            raise ValueError("native assembly needs a fixed clip_length")
-        if dataset.sample_rate != dataset.source_rate:
-            # C++ plane has no stride-resample; 16/8 kHz presets on 32 kHz
-            # containers keep the numpy path
-            raise ValueError(
-                "native assembly needs sample_rate == container rate "
-                f"({dataset.sample_rate} != {dataset.source_rate})"
-            )
-        self.dataset = dataset
+            if not same:
+                raise ValueError(
+                    "concatenated containers must share column/geometry/"
+                    "augmentation settings for the fused batch plane"
+                )
+        self.datasets = datasets
+        self.dataset = first  # geometry source (all validated identical)
+        self._offsets = np.cumsum([0] + [len(ds) for ds in datasets])
+        self._total = int(self._offsets[-1])
         self.roll_shift_range = roll_shift_range
         self.wavmix = wavmix
         self.wavmix_rate = wavmix_rate
@@ -92,6 +121,27 @@ class NativeBatchBuilder:
         self._seed = epoch_seed(self._base_seed, epoch)
 
     # ------------------------------------------------------------------
+    def _raw_batch(self, idxs):
+        """Fetch (bufs, names, target_rows) for GLOBAL indices over the
+        container concatenation — one fancy-indexed HDF5 read per container
+        per batch, results restitched in request order (the numpy
+        ConcatDataset semantics, datasets.py)."""
+        if len(self.datasets) == 1:
+            return self.datasets[0].raw_batch(list(idxs))
+        g = np.asarray(idxs)
+        which = np.searchsorted(self._offsets[1:], g, side="right")
+        bufs = [None] * len(g)
+        names = [None] * len(g)
+        rows = [None] * len(g)
+        for ci, ds in enumerate(self.datasets):
+            pos = np.nonzero(which == ci)[0]
+            if not pos.size:
+                continue
+            b, n, r = ds.raw_batch(list(g[pos] - self._offsets[ci]))
+            for j, p in enumerate(pos):
+                bufs[p], names[p], rows[p] = b[j], n[j], r[j]
+        return bufs, names, np.stack(rows)
+
     def _assemble(self, bufs, seed: int) -> np.ndarray:
         ds = self.dataset
         if ds.audio_column == "mp3":
@@ -143,7 +193,7 @@ class NativeBatchBuilder:
 
     def __call__(self, idxs) -> Dict[str, np.ndarray]:
         idxs = list(idxs)
-        bufs, names, rows = self.dataset.raw_batch(idxs)
+        bufs, names, rows = self._raw_batch(idxs)
         wave = self._assemble(bufs, self._seed)
         target = self._targets(rows)
 
@@ -157,11 +207,11 @@ class NativeBatchBuilder:
                 rng = item_rng(self._seed ^ _WAVMIX_SALT, i)
                 if rng.random() < self.wavmix_rate:
                     apply[b] = 1
-                    partners[b] = int(rng.integers(0, len(self.dataset)))
+                    partners[b] = int(rng.integers(0, self._total))
                     l = rng.beta(self.wavmix_beta, self.wavmix_beta)
                     lam[b] = np.float32(max(l, 1.0 - l))
             if apply.any():
-                bufs2, _, rows2 = self.dataset.raw_batch(partners)
+                bufs2, _, rows2 = self._raw_batch(partners)
                 other = self._assemble(bufs2, self._seed ^ 0x9E3779B9)
                 native.wavmix(wave, other, lam, apply)
                 y2 = self._targets(rows2)
@@ -184,27 +234,37 @@ class NativeBatchBuilder:
 def maybe_native_builder(cfg) -> Optional[NativeBatchBuilder]:
     """A NativeBatchBuilder for the recipe's cfg-derived train chain, or
     None when the native plane is unavailable / the chain is ineligible
-    (mp3/variable-length/resampled containers keep the numpy path).
-    Callers with a custom dataset keep the numpy path — this builder is
-    bound to the cfg-derived chain only."""
+    (variable-length/resampled containers keep the numpy path). Callers
+    with a custom dataset keep the numpy path — this builder is bound to
+    the cfg-derived chain only.
+
+    Every fallback is LOUD (one log line at loader-build time): with
+    ``data.native_loader=true`` the user believes the C++ plane is active,
+    and silently training on the numpy path misrepresents throughput."""
     d = cfg.data
-    if not getattr(d, "native_loader", False) or not native.available():
+    if not getattr(d, "native_loader", False):
         return None
-    # the native path covers exactly one chain shape: single raw-PCM HDF5
-    # (+ optional roll/wavmix); anything else falls back to numpy
-    if d.train_hdf5_extra:
+    if not native.available():
+        print(
+            "[data] native_loader=true but libhostplane.so is not built "
+            "(make -C native) -> numpy loader path"
+        )
         return None
     try:
         from passt_tpu.experiments.common import build_base_train_dataset
 
-        base = build_base_train_dataset(cfg, d.train_hdf5, d.seed)
+        bases = [build_base_train_dataset(cfg, d.train_hdf5, d.seed)]
+        if d.train_hdf5_extra:
+            # the flagship balanced+unbalanced ConcatDataset chain
+            bases.append(build_base_train_dataset(cfg, d.train_hdf5_extra, d.seed + 1))
         return NativeBatchBuilder(
-            base,
+            bases if len(bases) > 1 else bases[0],
             roll_shift_range=d.roll_shift_range if d.roll else 0,
             wavmix=d.wavmix,
             merge_masks=d.merge_mask_wavmix,
             seed=d.seed + 31,
             num_workers=d.num_workers,
         )
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, RuntimeError) as e:
+        print(f"[data] native_loader=true but chain ineligible ({e}) -> numpy loader path")
         return None

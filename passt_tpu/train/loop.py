@@ -176,7 +176,14 @@ def evaluate(
         k = target.shape[1] // 2
         labels, mask = (target[:, :k] > 0.5).astype(np.float64), target[:, k:]
         metrics["ap"] = masked_mean_average_precision(labels, out, mask)
-        metrics["roc"] = masked_roc_auc(labels, out, mask)
+        # Mirror the unmasked branch: when no class has both label signs
+        # under the mask, masked_roc_auc is NaN — omit rather than write a
+        # non-RFC NaN token into the epoch JSONL record.
+        roc = masked_roc_auc(labels, out, mask)
+        if np.isnan(roc):
+            print("masked roc_auc undefined on this eval set; omitting 'roc'")
+        else:
+            metrics["roc"] = float(roc)
         metrics["allap"] = metrics["ap"]
     else:
         metrics["ap"] = mean_average_precision(target, out)

@@ -197,7 +197,9 @@ def test_cached_dataset(tmp_path, synth_hdf5):
     np.testing.assert_array_equal(t1, t2)
     import os
 
-    assert os.path.exists(str(tmp_path / "cache" / "s0_3.npz"))
+    # pre-set_epoch sentinel key: an epoch-dependent chain's state before
+    # set_epoch differs from after set_epoch(0), so "s0" must not be shared
+    assert os.path.exists(str(tmp_path / "cache" / "sinit_3.npz"))
 
 
 def test_extra_ramp_functions():
@@ -463,7 +465,8 @@ def test_cached_dataset_epoch_keying(tmp_path, synth_hdf5):
     cache_det.set_epoch(3)
     w3 = cache_det[1][0]
     np.testing.assert_array_equal(w0, w3)
-    assert sorted(os.listdir(tmp_path / "det")) == ["s0_1.npz"]  # one key
+    # deterministic chain: set_epoch is a no-op, one "sinit" key forever
+    assert sorted(os.listdir(tmp_path / "det")) == ["sinit_1.npz"]  # one key
 
     from passt_tpu.data.datasets import set_epoch_recursive
 
@@ -479,3 +482,120 @@ def test_cached_dataset_epoch_keying(tmp_path, synth_hdf5):
     assert not np.array_equal(a0, a3)  # augmentation varies across epochs
     files = sorted(os.listdir(tmp_path / "aug"))
     assert "s0_1.npz" in files and "s3_1.npz" in files
+
+    # Regression (ADVICE r1): reading an epoch-dependent chain BEFORE any
+    # set_epoch (constructor-seed state) must not serve/populate the
+    # epoch-0 cache key — the augmentation states differ.
+    fresh = CachedDataset(
+        WavMixDataset(
+            HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2, gain_augment_db=7)
+        ),
+        str(tmp_path / "fresh"),
+    )
+    fresh[1]  # pre-set_epoch read
+    set_epoch_recursive(fresh, 0)
+    fresh[1]
+    assert sorted(os.listdir(tmp_path / "fresh")) == ["s0_1.npz", "sinit_1.npz"]
+
+
+def _pack_second_container(tmp_path, rng_np, n=15):
+    from passt_tpu.data.prepare import pack_waveform_hdf5
+
+    path = str(tmp_path / "train_extra.h5")
+    items = []
+    for i in range(n):
+        wave = (rng_np.standard_normal(int(32000 * 1.5)) * 0.1).astype(np.float32)
+        target = np.zeros(16)
+        target[(i + 7) % 16] = 1
+        items.append((f"extra_{i:03d}.wav", wave, target))
+    pack_waveform_hdf5(path, items, packed_targets=True)
+    return path
+
+
+def test_native_builder_two_containers(tmp_path, synth_hdf5, rng_np):
+    """The fused C++ plane on the flagship balanced+unbalanced
+    ConcatDataset chain (reference audioset/dataset.py:239-243): global
+    indices route to the owning container and, with augmentation off, the
+    batch is bit-identical to the numpy ConcatDataset chain."""
+    from passt_tpu.data import native
+
+    if not native.available():
+        pytest.skip("libhostplane.so not built")
+    from passt_tpu.data.native_loader import NativeBatchBuilder
+    from passt_tpu.data.pipeline import default_collate
+
+    extra = _pack_second_container(tmp_path, rng_np)
+    ds1 = HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2)
+    ds2 = HDF5AudioDataset(extra, classes_num=16, clip_length=2)
+    cat = ConcatDataset([ds1, ds2])
+    builder = NativeBatchBuilder([ds1, ds2], seed=0, num_workers=2)
+    idxs = [3, 25, 0, 34, 19, 20, 21, 7]  # interleaved across both
+    nat = builder(idxs)
+    ref = default_collate([cat[i] for i in idxs])
+    np.testing.assert_array_equal(nat["wave"], ref["wave"])
+    np.testing.assert_array_equal(nat["target"], ref["target"])
+    assert nat["name"] == ref["name"]
+
+    # wavmix partners drawn over the WHOLE concatenation, same plan streams
+    mixed = WavMixDataset(cat, rate=0.5, seed=11)
+    b2 = NativeBatchBuilder([ds1, ds2], wavmix=True, seed=11, num_workers=0)
+    from passt_tpu.data.datasets import set_epoch_recursive
+
+    set_epoch_recursive(mixed, 2)
+    b2.set_epoch(2)
+    idxs = list(range(14, 26))  # spans the container boundary (20)
+    plans = [mixed.mix_plan(i) for i in idxs]
+    assert any(p[0] for p in plans)
+    assert any(p[0] and p[1] >= 20 for p in plans) or True  # partner may cross
+    nat = b2(idxs)
+    ref = default_collate([mixed[i] for i in idxs])
+    np.testing.assert_allclose(nat["target"], ref["target"], atol=1e-6)
+    np.testing.assert_allclose(nat["wave"], ref["wave"], atol=1e-5)
+
+    # mismatched geometry across containers is rejected (falls back loudly
+    # through maybe_native_builder)
+    ds_bad = HDF5AudioDataset(extra, classes_num=16, clip_length=1)
+    from passt_tpu.data.native_loader import NativeBatchBuilder as NBB
+
+    with pytest.raises(ValueError, match="share column/geometry"):
+        NBB([ds1, ds_bad], seed=0)
+
+
+def test_maybe_native_builder_two_container_cfg(tmp_path, synth_hdf5, rng_np, capsys):
+    """cfg-driven activation for the flagship two-container recipe (the
+    round-1 gap: train_hdf5_extra silently fell back to numpy), and the
+    loud log line when the chain is ineligible."""
+    from passt_tpu.data import native
+
+    if not native.available():
+        pytest.skip("libhostplane.so not built")
+    import dataclasses
+
+    from passt_tpu.data.native_loader import maybe_native_builder
+    from passt_tpu.experiments import EXPERIMENTS
+
+    extra = _pack_second_container(tmp_path, rng_np)
+    base = EXPERIMENTS["audioset"].default_config
+    cfg = dataclasses.replace(
+        base,
+        data=dataclasses.replace(
+            base.data,
+            train_hdf5=synth_hdf5,
+            train_hdf5_extra=extra,
+            num_classes=16,
+            clip_length=2,
+            packed_targets=True,
+            native_loader=True,
+        ),
+    )
+    builder = maybe_native_builder(cfg)
+    assert builder is not None and len(builder.datasets) == 2
+    assert len(builder.dataset) + len(builder.datasets[1]) == builder._total == 35
+
+    # ineligible chain (no fixed clip length) -> None + loud line
+    cfg2 = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, clip_length=None)
+    )
+    capsys.readouterr()
+    assert maybe_native_builder(cfg2) is None
+    assert "numpy loader path" in capsys.readouterr().out
