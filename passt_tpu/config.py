@@ -80,6 +80,13 @@ class DataConfig:
     native_loader: bool = True  # fused C++ batch assembly when
     # libhostplane.so is built and the container/augmentation chain is
     # eligible (int16 PCM, fixed clip length); falls back to numpy
+    ir_augment: float = 0.0  # impulse-response convolution probability
+    # (reference pydub_augment ir branch, audioset/dataset.py:104-107;
+    # default off in every recipe)
+    ir_path: Optional[str] = None  # .wav IR bank directory (rglob, sorted;
+    # audioset/dataset.py:84-100)
+    cut_irs_offset: Optional[int] = None  # keep the reference's 10-IR
+    # window starting at this offset
 
 
 @dataclasses.dataclass(frozen=True)

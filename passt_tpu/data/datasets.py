@@ -132,6 +132,31 @@ def ir_augment(
     return np.convolve(x, ir, mode="full").astype(np.float32)
 
 
+def load_ir_bank(
+    ir_dir: str,
+    sample_rate: int = 32000,
+    cut_irs_offset: Optional[int] = None,
+) -> List[np.ndarray]:
+    """Load an impulse-response .wav bank: every *.wav under ``ir_dir``
+    (recursive, sorted — the reference's ``rglob`` + ``sorted`` order),
+    resampled to ``sample_rate`` (the reference loads via
+    ``librosa.load(sr=32000)``). ``cut_irs_offset`` keeps the reference's
+    10-IR window starting at that offset (audioset/dataset.py:84-100)."""
+    import os
+    import pathlib
+
+    paths = sorted(pathlib.Path(os.path.expanduser(ir_dir)).rglob("*.wav"))
+    if cut_irs_offset is not None:
+        paths = paths[cut_irs_offset : cut_irs_offset + 10]
+    if not paths:
+        raise FileNotFoundError(f"no .wav impulse responses under {ir_dir}")
+    bank = []
+    for p in paths:
+        buf = np.frombuffer(p.read_bytes(), dtype=np.uint8)
+        bank.append(_decode_wav(buf, target_rate=sample_rate))
+    return bank
+
+
 # ---------------------------------------------------------------------------
 # decoders
 # ---------------------------------------------------------------------------
@@ -262,6 +287,8 @@ class HDF5AudioDataset(AudioDataset):
         crop: str = "head",
         in_mem: bool = False,
         seed: int = 0,
+        impulse_responses: Optional[Sequence[np.ndarray]] = None,
+        ir_augment_rate: float = 0.0,
     ):
         import h5py
 
@@ -292,6 +319,8 @@ class HDF5AudioDataset(AudioDataset):
         self.packed_targets = packed_targets
         self.gain_augment_db = gain_augment_db
         self.crop = crop
+        self.impulse_responses = list(impulse_responses or [])
+        self.ir_augment_rate = float(ir_augment_rate)
         self._base_seed = seed
         self._seed = seed
 
@@ -363,6 +392,12 @@ class HDF5AudioDataset(AudioDataset):
         else:
             waveform = decoder(raw).astype(np.float32)
         rng = item_rng(self._seed, index)
+        if self.ir_augment_rate and self.impulse_responses:
+            # reference order: IR convolution BEFORE gain (pydub_augment,
+            # audioset/dataset.py:104-112)
+            waveform = ir_augment(
+                waveform, self.impulse_responses, self.ir_augment_rate, rng
+            )
         if self.gain_augment_db:
             waveform = gain_augment(waveform, self.gain_augment_db, rng)
         if self.clip_samples is not None:

@@ -80,6 +80,10 @@ class NativeBatchBuilder:
                 )
             if ds.clip_samples is None:
                 raise ValueError("native assembly needs a fixed clip_length")
+            if getattr(ds, "ir_augment_rate", 0.0) and ds.impulse_responses:
+                raise ValueError(
+                    "ir_augment is python-side only; IR chains keep the numpy path"
+                )
             if ds.sample_rate != ds.source_rate:
                 # C++ plane has no stride-resample; 16/8 kHz presets on 32 kHz
                 # containers keep the numpy path

@@ -47,6 +47,11 @@ def build_base_train_dataset(cfg: ExperimentConfig, path: str, seed: int):
     the native C++ batch plane (data.native_loader), so their kwargs cannot
     drift apart."""
     d = cfg.data
+    bank = None
+    if d.ir_augment and d.ir_path:
+        from passt_tpu.data.datasets import load_ir_bank
+
+        bank = load_ir_bank(d.ir_path, d.sample_rate, d.cut_irs_offset)
     return HDF5AudioDataset(
         path,
         sample_rate=d.sample_rate,
@@ -56,6 +61,8 @@ def build_base_train_dataset(cfg: ExperimentConfig, path: str, seed: int):
         gain_augment_db=d.gain_augment_db,
         crop=d.crop,
         seed=seed,
+        impulse_responses=bank,
+        ir_augment_rate=d.ir_augment if bank else 0.0,
     )
 
 

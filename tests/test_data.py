@@ -599,3 +599,73 @@ def test_maybe_native_builder_two_container_cfg(tmp_path, synth_hdf5, rng_np, ca
     capsys.readouterr()
     assert maybe_native_builder(cfg2) is None
     assert "numpy loader path" in capsys.readouterr().out
+
+
+def test_ir_augment_bank_config_activated(tmp_path, synth_hdf5):
+    """data.ir_path + data.ir_augment activate IR convolution in the
+    cfg-derived chain (reference get_ir_sample/pydub_augment,
+    audioset/dataset.py:84-112): bank loading (rglob sorted, resample),
+    deterministic per-(seed,index) application, rate=0 bit-identity."""
+    import dataclasses
+    import wave as wavmod
+
+    from passt_tpu.data import load_ir_bank
+    from passt_tpu.experiments import EXPERIMENTS
+    from passt_tpu.experiments.common import build_base_train_dataset
+
+    # write a tiny 2-IR .wav bank (PCM16 mono 32 kHz)
+    bank_dir = tmp_path / "irs"
+    bank_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for name, decay in [("room_a.wav", 60.0), ("room_b.wav", 15.0)]:
+        ir = (rng.standard_normal(400) * np.exp(-np.arange(400) / decay)).astype(
+            np.float32
+        )
+        with wavmod.open(str(bank_dir / name), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(32000)
+            w.writeframes((ir * 32767).astype(np.int16).tobytes())
+
+    bank = load_ir_bank(str(bank_dir), 32000)
+    assert len(bank) == 2 and all(b.dtype == np.float32 for b in bank)
+
+    base = EXPERIMENTS["audioset"].default_config
+    data = dataclasses.replace(
+        base.data,
+        train_hdf5=synth_hdf5,
+        num_classes=16,
+        clip_length=2,
+        gain_augment_db=0,
+        ir_augment=1.0,
+        ir_path=str(bank_dir),
+    )
+    cfg = dataclasses.replace(base, data=data)
+    ds_ir = build_base_train_dataset(cfg, synth_hdf5, seed=3)
+    assert ds_ir.ir_augment_rate == 1.0 and len(ds_ir.impulse_responses) == 2
+
+    cfg_off = dataclasses.replace(
+        cfg, data=dataclasses.replace(data, ir_augment=0.0)
+    )
+    ds_off = build_base_train_dataset(cfg_off, synth_hdf5, seed=3)
+    w_ir, _, _ = ds_ir[2]
+    w_off, _, _ = ds_off[2]
+    assert w_ir.shape == w_off.shape  # crop after convolve keeps clip length
+    assert not np.array_equal(w_ir, w_off)
+
+    # pure in (seed, index): repeated reads are bit-identical, and a
+    # different seed draws a different IR for at least one of 6 items
+    np.testing.assert_array_equal(w_ir, ds_ir[2][0])
+    before = [ds_ir[i][0] for i in range(6)]
+    ds_ir.reseed(99)
+    after = [ds_ir[i][0] for i in range(6)]
+    assert any(not np.array_equal(a, b) for a, b in zip(before, after))
+
+    # the IR chain keeps the numpy path (native plane rejects it loudly)
+    from passt_tpu.data import native
+
+    if native.available():
+        from passt_tpu.data.native_loader import NativeBatchBuilder
+
+        with pytest.raises(ValueError, match="ir_augment"):
+            NativeBatchBuilder(ds_ir, seed=0)
