@@ -169,3 +169,28 @@ def test_truncated_mp3_partial_decode_reports_rate():
     assert rate == full_rate  # the format was announced before the cut
     assert 0 < len(wav) < len(full)
     assert np.isfinite(wav).all()
+
+
+def test_lame_encoder_roundtrip():
+    """In-process libmp3lame encoder (prepare/mp3enc.py) -> native
+    libmpg123 decode: rate preserved, waveform reconstructed (xcorr-aligned
+    correlation > 0.999 for a band-limited signal)."""
+    from passt_tpu.data.prepare import mp3enc
+
+    if not mp3enc.available():
+        pytest.skip("libmp3lame not on this host")
+    from passt_tpu.data import native
+
+    if not native.mp3_available():
+        pytest.skip("native mp3 decode unavailable")
+    t = np.arange(32000 * 2) / 32000.0
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    blob = mp3enc.encode_mp3(wave, 32000)
+    assert len(blob) > 10000
+    dec, rate = native.decode_mp3(blob)
+    assert rate == 32000
+    n = 32000
+    c = np.correlate(dec[: n * 2].astype(np.float64), wave[:n].astype(np.float64), "valid")
+    lag = int(np.argmax(c))
+    corr = np.corrcoef(dec[lag : lag + n], wave[:n])[0, 1]
+    assert corr > 0.999
