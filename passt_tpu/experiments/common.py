@@ -238,8 +238,12 @@ class Experiment:
         rng: Optional[jax.Array] = None,
         steps_per_epoch: Optional[int] = None,
         runtime=None,
+        make_steps: bool = True,
     ):
         """(model, state, train_step, eval_step, tx) from a config.
+        ``make_steps=False`` skips step construction (harnesses that build
+        their own raw step, e.g. model_speed_test, get (model, state, None,
+        None, tx) without a discarded jitted step).
 
         When ``runtime`` (a MeshRuntime from ``trainer.n_data``/``n_model``)
         is given, the state is sharded over the mesh and the train step is
@@ -272,6 +276,10 @@ class Experiment:
                 )
             params = load_pretrained_params(cfg.model.checkpoint_path, pcfg, params)
         state = TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
+        if not make_steps:
+            if runtime is not None:
+                state = runtime.shard_state(state)
+            return model, state, None, None, tx
         train_step = make_train_step(
             model,
             tx,
@@ -468,7 +476,7 @@ class Experiment:
         from passt_tpu.parallel.runtime import maybe_mesh_runtime
 
         runtime = maybe_mesh_runtime(cfg.trainer)
-        model, state, train_step_jit, _, tx = self.build(cfg, runtime=runtime)
+        model, state, _, _, tx = self.build(cfg, runtime=runtime, make_steps=False)
         raw_step = make_train_step(
             model, tx, cfg.mel, loss_type=cfg.trainer.loss_type,
             use_mixup=cfg.trainer.use_mixup, mixup_alpha=cfg.trainer.mixup_alpha,

@@ -12,13 +12,19 @@ residuals**. One grid program per (batch, head)
   - multiplies into V — never spilling scores to HBM,
 
 and the backward kernel **recomputes** the scores from Q/K instead of
-round-tripping the softmax output through HBM. That round trip is where
-the XLA autodiff path pays: it saves 12 blocks x [B*H, N, N] softmax
-matrices in the forward and reads them back (plus materializing dS between
-the dQ/dK matmuls) in the backward — O(B*H*N^2) HBM traffic that this
-kernel eliminates entirely. The generic flash kernel was measured ~9x
-slower than XLA at this N (PARITY.md "Measured dead ends"): its
-small-block online-softmax machinery solves a problem PaSST does not have.
+round-tripping the softmax output through HBM. The kernel reads Q/K/V
+straight out of the module-layout ``[B, N, H, D]`` tensors via strided
+BlockSpecs — no transposes, no padding copies; Mosaic masks the unaligned
+sequence length natively.
+
+Measured on the real chip (B=12, H=12, D=64, scripts/ab_attention_micro.py):
+at train length N=474 XLA's einsum composition is already at the floor
+(fwd 0.103 ms, fwd+bwd 0.446 ms per block — the fused kernel ties fwd+bwd
+and loses fwd), but at eval length N=1190 the [B*H, N, N] materialization
+starts to hurt XLA and the fused kernel wins ~10% end-to-end. The generic
+flash kernel was measured ~9x slower than XLA at this N (PARITY.md
+"Measured dead ends"): its small-block online-softmax machinery solves a
+problem PaSST does not have.
 
 Numerics: scores/softmax are always fp32 (the module's ``softmax_fp32``
 semantics); the probability matrix is cast to the input dtype for the PV
@@ -42,27 +48,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LANE = 128
-_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-
-# VMEM ceilings (Np = padded sequence). Forward holds one [Np, Np] fp32
-# score matrix (6.6 MB at Np=1280); backward holds three (scores, dP, dS).
+# VMEM ceilings (the kernel holds [N, N] fp32 intermediates: one in the
+# forward, three in the backward).
 _MAX_N_FWD = 2048
 _MAX_N_BWD = 1024
 
 
 def kernel_supports(n: int, head_dim: int, *, backward: bool) -> bool:
-    """True iff the fused kernel handles this geometry.
-
-    ``n`` is the unpadded sequence length (padded internally to a lane
-    multiple); ``head_dim`` must be a single MXU tile wide.
-    """
-    n_pad = _round_up(n, _LANE)
-    return head_dim <= _LANE and n_pad <= (_MAX_N_BWD if backward else _MAX_N_FWD)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+    """True iff the fused kernel handles this geometry (``n`` sequence
+    length, ``head_dim`` at most one MXU tile wide)."""
+    return head_dim <= 128 and n <= (_MAX_N_BWD if backward else _MAX_N_FWD)
 
 
 def _precision_for(dtype) -> jax.lax.Precision:
@@ -75,26 +70,15 @@ def _precision_for(dtype) -> jax.lax.Precision:
     )
 
 
-def _scores(q, k, scale: float, n_valid: int, precision):
-    """[N, N] fp32 scaled, padding-masked score matrix."""
+def _softmax_parts(q, k, scale: float, plus1: bool, precision):
+    """fp32 scores -> (unnormalized p, denominator l [N, 1])."""
     s = jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         precision=precision,
         preferred_element_type=jnp.float32,
-    )
-    s = s * jnp.float32(scale)
-    n = q.shape[0]
-    if n_valid < n:
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        s = jnp.where(col < n_valid, s, _MASK_VALUE)
-    return s
-
-
-def _softmax_stats(s, plus1: bool):
-    """Row max ``m`` and denominator ``l`` (both [N, 1] fp32) and the
-    unnormalized ``p = exp(s - m)``."""
+    ) * jnp.float32(scale)
     m = jnp.max(s, axis=-1, keepdims=True)
     if plus1:
         m = jnp.maximum(m, 0.0)
@@ -102,15 +86,14 @@ def _softmax_stats(s, plus1: bool):
     l = jnp.sum(p, axis=-1, keepdims=True)
     if plus1:
         l = l + jnp.exp(-m)
-    return m, l, p
+    return p, l
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid, plus1, precision):
-    q = q_ref[0, 0]  # [N, D]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    s = _scores(q, k, scale, n_valid, precision)
-    _, l, p = _softmax_stats(s, plus1)
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, plus1, precision):
+    q = q_ref[0, :, 0, :]  # [N, D]
+    k = k_ref[0, :, 0, :]
+    v = v_ref[0, :, 0, :]
+    p, l = _softmax_parts(q, k, scale, plus1, precision)
     o = jax.lax.dot_general(
         p.astype(v.dtype),
         v,
@@ -120,79 +103,74 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid, plus1, precision)
     )
     # Normalize after PV on [N, D] (cheaper than normalizing p on [N, N],
     # and the division happens on the fp32 accumulator).
-    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+    o_ref[0, :, 0, :] = (o / l).astype(o_ref.dtype)
 
 
 def _bwd_kernel(
-    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale, n_valid, plus1, precision
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale, plus1, precision
 ):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    s = _scores(q, k, scale, n_valid, precision)
-    _, l, p = _softmax_stats(s, plus1)
+    q = q_ref[0, :, 0, :]
+    k = k_ref[0, :, 0, :]
+    v = v_ref[0, :, 0, :]
+    do = do_ref[0, :, 0, :]
+    p, l = _softmax_parts(q, k, scale, plus1, precision)
     inv_l = 1.0 / l  # [N, 1]
 
-    dot = functools.partial(
-        jax.lax.dot_general, precision=precision, preferred_element_type=jnp.float32
+    contract = lambda a, b, dims: jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
     )
-    contract = lambda a, b, dims: dot(a, b, dimension_numbers=(dims, ((), ())))
 
     # dV = P_norm^T @ dO, folding the row normalization into dO (the 1/l_i
     # rides the contraction index, so scale dO rows instead of all of P).
     do_n = (do.astype(jnp.float32) * inv_l).astype(p.dtype)
-    dv = contract(p, do_n, ((0,), (0,)))  # [D_out rows: N, D] -> [N? ]
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    dv_ref[0, :, 0, :] = contract(p, do_n, ((0,), (0,))).astype(dv_ref.dtype)
 
     # dP = dO @ V^T ; dS = P_norm * (dP - di) with di = rowsum(P_norm * dP).
     dp = contract(do, v, ((1,), (1,)))  # [N, N] fp32
     di = jnp.sum(p * dp, axis=-1, keepdims=True) * inv_l  # rowsum(pn * dp)
-    ds = (p * inv_l) * (dp - di) * jnp.float32(scale)  # [N, N] fp32
+    ds = (p * inv_l) * (dp - di) * jnp.float32(scale)
     ds_c = ds.astype(q.dtype)
 
-    dq_ref[0, 0] = contract(ds_c, k, ((1,), (0,))).astype(dq_ref.dtype)
-    dk_ref[0, 0] = contract(ds_c, q, ((0,), (0,))).astype(dk_ref.dtype)
+    dq_ref[0, :, 0, :] = contract(ds_c, k, ((1,), (0,))).astype(dq_ref.dtype)
+    dk_ref[0, :, 0, :] = contract(ds_c, q, ((0,), (0,))).astype(dk_ref.dtype)
 
 
-def _block_specs(b, h, n, d, count):
-    spec = pl.BlockSpec((1, 1, n, d), lambda i, j: (i, j, 0, 0))
+def _specs(n, d, count):
+    # Strided slice of the module-layout [B, N, H, D] tensor: one (batch,
+    # head) column per grid program. The DMA engine handles the stride;
+    # no host-visible transpose or pad is materialized.
+    spec = pl.BlockSpec((1, n, 1, d), lambda b, h: (b, 0, h, 0))
     return [spec] * count
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _fused_attn(q, k, v, scale, n_valid, plus1, interpret):
-    return _fused_attn_fwd(q, k, v, scale, n_valid, plus1, interpret)[0]
-
-
-def _pallas_common(q, n_flops_factor, transcend_factor):
-    b, h, n, d = q.shape
+def _common(q, flops_factor):
+    b, n, h, d = q.shape
     cost = pl.CostEstimate(
-        flops=n_flops_factor * b * h * n * n * d,
+        flops=flops_factor * b * h * n * n * d,
         bytes_accessed=4 * b * h * n * d * q.dtype.itemsize,
-        transcendentals=transcend_factor * b * h * n * n,
+        transcendentals=b * h * n * n,
     )
-    params = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel"),
-    )
-    return (b, h, n, d), cost, params
+    params = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
+    return (b, n, h, d), cost, params
 
 
-def _fused_attn_fwd(q, k, v, scale, n_valid, plus1, interpret):
-    (b, h, n, d), cost, params = _pallas_common(q, 4, 1)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_attn(q, k, v, scale, plus1, interpret):
+    return _fused_attn_fwd(q, k, v, scale, plus1, interpret)[0]
+
+
+def _fused_attn_fwd(q, k, v, scale, plus1, interpret):
+    (b, n, h, d), cost, params = _common(q, 4)
     kernel = functools.partial(
-        _fwd_kernel,
-        scale=scale,
-        n_valid=n_valid,
-        plus1=plus1,
-        precision=_precision_for(q.dtype),
+        _fwd_kernel, scale=scale, plus1=plus1, precision=_precision_for(q.dtype)
     )
     o = pl.pallas_call(
         kernel,
         grid=(b, h),
-        in_specs=_block_specs(b, h, n, d, 3),
-        out_specs=_block_specs(b, h, n, d, 1)[0],
-        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        in_specs=_specs(n, d, 3),
+        out_specs=_specs(n, d, 1)[0],
+        out_shape=jax.ShapeDtypeStruct((b, n, h, d), q.dtype),
         compiler_params=params,
         cost_estimate=cost,
         interpret=interpret,
@@ -200,25 +178,21 @@ def _fused_attn_fwd(q, k, v, scale, n_valid, plus1, interpret):
     return o, (q, k, v)
 
 
-def _fused_attn_bwd(scale, n_valid, plus1, interpret, res, do):
+def _fused_attn_bwd(scale, plus1, interpret, res, do):
     q, k, v = res
-    (b, h, n, d), cost, params = _pallas_common(q, 8, 1)
+    (b, n, h, d), cost, params = _common(q, 8)
     kernel = functools.partial(
-        _bwd_kernel,
-        scale=scale,
-        n_valid=n_valid,
-        plus1=plus1,
-        precision=_precision_for(q.dtype),
+        _bwd_kernel, scale=scale, plus1=plus1, precision=_precision_for(q.dtype)
     )
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(b, h),
-        in_specs=_block_specs(b, h, n, d, 4),
-        out_specs=tuple(_block_specs(b, h, n, d, 3)),
+        in_specs=_specs(n, d, 4),
+        out_specs=tuple(_specs(n, d, 3)),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, n, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, n, d), v.dtype),
+            jax.ShapeDtypeStruct((b, n, h, d), q.dtype),
+            jax.ShapeDtypeStruct((b, n, h, d), k.dtype),
+            jax.ShapeDtypeStruct((b, n, h, d), v.dtype),
         ),
         compiler_params=params,
         cost_estimate=cost,
@@ -243,7 +217,8 @@ def fused_attention(
 
     Args:
       q, k, v: ``[B, N, H, Dh]`` (the module layout produced by the fused
-        qkv projection). Any float dtype; scores/softmax run in fp32.
+        qkv projection — consumed in place, no transposes). Any float
+        dtype; scores/softmax run in fp32.
       scale: score scale (``head_dim ** -0.5``).
       plus1: the reference "+1 trick" — softmax over ``[logits, 0]`` with
         the zero column dropped afterwards.
@@ -255,18 +230,4 @@ def fused_attention(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, n, h, d = q.shape
-    n_pad = _round_up(n, _LANE)
-    # [B, N, H, D] -> [B, H, N, D]; XLA folds the transpose into the
-    # surrounding reshape/projection copies.
-    def to_bhnd(x):
-        x = jnp.transpose(x, (0, 2, 1, 3))
-        if n_pad != n:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
-        return x
-
-    o = _fused_attn(
-        to_bhnd(q), to_bhnd(k), to_bhnd(v), float(scale), n, bool(plus1), interpret
-    )
-    o = o[:, :, :n, :]
-    return jnp.transpose(o, (0, 2, 1, 3))
+    return _fused_attn(q, k, v, float(scale), bool(plus1), interpret)
