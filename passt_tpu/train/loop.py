@@ -265,6 +265,12 @@ def fit(
         )
 
     interrupted = False
+    # In-place progress line for interactive runs (the reference's tweaked
+    # tqdm bar, ba3l/plutils progress_bar.py) — TTY only, loss/rate come
+    # from the last logged window so no extra per-step device sync occurs.
+    import sys
+
+    show_progress = sys.stdout.isatty() and jax.process_index() == 0
     # host-side global step mirror (avoids a per-batch device sync)
     host_step = int(state.step)
     for epoch in range(start_epoch, max_epochs):
@@ -273,6 +279,7 @@ def fit(
         # reference's tqdm progress bar shows the same live rate)
         n_batches = 0
         pending_loss = None
+        progress_tail = ""
         try:
             train_loader.set_epoch(epoch)
             train_it = iter(train_loader)
@@ -329,7 +336,18 @@ def fit(
                     for k, v in metrics.items():  # extra step metrics
                         if k != "loss":           # (e.g. grad_norm)
                             row[k] = float(v)
+                    if show_progress:
+                        print("\r\x1b[K", end="")  # clear the progress line
                     logger.log(row)
+                    progress_tail = f"loss {row['loss']:.4f} {row['it_per_s']:.2f} it/s"
+                elif show_progress:
+                    total = len(train_loader) if hasattr(train_loader, "__len__") else "?"
+                    print(
+                        f"\repoch {epoch} [{i + 1}/{total}] "
+                        + (progress_tail if n_batches > log_every_steps else "warmup"),
+                        end="",
+                        flush=True,
+                    )
         except KeyboardInterrupt:
             # Mid-epoch state is NOT checkpointed: epoch checkpoints are the
             # resume points (the per-epoch sampler reseed makes mid-epoch
@@ -345,6 +363,8 @@ def fit(
             )
             break
 
+        if show_progress:
+            print("\r\x1b[K", end="")
         epoch_time = time.time() - t_epoch
 
         record: Dict[str, float] = {
