@@ -90,57 +90,64 @@ def _softmax_parts(q, k, scale: float, plus1: bool, precision):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, plus1, precision):
-    q = q_ref[0, :, 0, :]  # [N, D]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    p, l = _softmax_parts(q, k, scale, plus1, precision)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype),
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )
-    # Normalize after PV on [N, D] (cheaper than normalizing p on [N, N],
-    # and the division happens on the fp32 accumulator).
-    o_ref[0, :, 0, :] = (o / l).astype(o_ref.dtype)
+    # One batch item per program; unrolled loop over heads — the [N, N]
+    # intermediates are reused head to head, so VMEM stays one head deep.
+    num_heads = q_ref.shape[2]
+    for h in range(num_heads):
+        q = q_ref[0, :, h, :]  # [N, D]
+        k = k_ref[0, :, h, :]
+        v = v_ref[0, :, h, :]
+        p, l = _softmax_parts(q, k, scale, plus1, precision)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        # Normalize after PV on [N, D] (cheaper than normalizing p on
+        # [N, N], and the division happens on the fp32 accumulator).
+        o_ref[0, :, h, :] = (o / l).astype(o_ref.dtype)
 
 
 def _bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale, plus1, precision
 ):
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    do = do_ref[0, :, 0, :]
-    p, l = _softmax_parts(q, k, scale, plus1, precision)
-    inv_l = 1.0 / l  # [N, 1]
-
+    num_heads = q_ref.shape[2]
     contract = lambda a, b, dims: jax.lax.dot_general(
         a, b, dimension_numbers=(dims, ((), ())),
         precision=precision, preferred_element_type=jnp.float32,
     )
+    for h in range(num_heads):
+        q = q_ref[0, :, h, :]
+        k = k_ref[0, :, h, :]
+        v = v_ref[0, :, h, :]
+        do = do_ref[0, :, h, :]
+        p, l = _softmax_parts(q, k, scale, plus1, precision)
+        inv_l = 1.0 / l  # [N, 1]
 
-    # dV = P_norm^T @ dO, folding the row normalization into dO (the 1/l_i
-    # rides the contraction index, so scale dO rows instead of all of P).
-    do_n = (do.astype(jnp.float32) * inv_l).astype(p.dtype)
-    dv_ref[0, :, 0, :] = contract(p, do_n, ((0,), (0,))).astype(dv_ref.dtype)
+        # dV = P_norm^T @ dO, folding the row normalization into dO (the
+        # 1/l_i rides the contraction index, so scale dO rows instead of
+        # all of P).
+        do_n = (do.astype(jnp.float32) * inv_l).astype(p.dtype)
+        dv_ref[0, :, h, :] = contract(p, do_n, ((0,), (0,))).astype(dv_ref.dtype)
 
-    # dP = dO @ V^T ; dS = P_norm * (dP - di) with di = rowsum(P_norm * dP).
-    dp = contract(do, v, ((1,), (1,)))  # [N, N] fp32
-    di = jnp.sum(p * dp, axis=-1, keepdims=True) * inv_l  # rowsum(pn * dp)
-    ds = (p * inv_l) * (dp - di) * jnp.float32(scale)
-    ds_c = ds.astype(q.dtype)
+        # dP = dO @ V^T ; dS = P_norm * (dP - di), di = rowsum(P_norm * dP).
+        dp = contract(do, v, ((1,), (1,)))  # [N, N] fp32
+        di = jnp.sum(p * dp, axis=-1, keepdims=True) * inv_l
+        ds = (p * inv_l) * (dp - di) * jnp.float32(scale)
+        ds_c = ds.astype(q.dtype)
 
-    dq_ref[0, :, 0, :] = contract(ds_c, k, ((1,), (0,))).astype(dq_ref.dtype)
-    dk_ref[0, :, 0, :] = contract(ds_c, q, ((0,), (0,))).astype(dk_ref.dtype)
+        dq_ref[0, :, h, :] = contract(ds_c, k, ((1,), (0,))).astype(dq_ref.dtype)
+        dk_ref[0, :, h, :] = contract(ds_c, q, ((0,), (0,))).astype(dk_ref.dtype)
 
 
-def _specs(n, d, count):
-    # Strided slice of the module-layout [B, N, H, D] tensor: one (batch,
-    # head) column per grid program. The DMA engine handles the stride;
-    # no host-visible transpose or pad is materialized.
-    spec = pl.BlockSpec((1, n, 1, d), lambda b, h: (b, 0, h, 0))
+def _specs(n, h, d, count):
+    # One CONTIGUOUS batch item of the module-layout [B, N, H, D] tensor
+    # per grid program (Pallas requires the block's trailing two dims to
+    # cover the array's, so heads are looped inside the kernel rather than
+    # sliced by the grid). No transpose or pad is ever materialized.
+    spec = pl.BlockSpec((1, n, h, d), lambda b: (b, 0, 0, 0))
     return [spec] * count
 
 
@@ -151,7 +158,7 @@ def _common(q, flops_factor):
         bytes_accessed=4 * b * h * n * d * q.dtype.itemsize,
         transcendentals=b * h * n * n,
     )
-    params = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
+    params = pltpu.CompilerParams(dimension_semantics=("parallel",))
     return (b, n, h, d), cost, params
 
 
@@ -167,9 +174,9 @@ def _fused_attn_fwd(q, k, v, scale, plus1, interpret):
     )
     o = pl.pallas_call(
         kernel,
-        grid=(b, h),
-        in_specs=_specs(n, d, 3),
-        out_specs=_specs(n, d, 1)[0],
+        grid=(b,),
+        in_specs=_specs(n, h, d, 3),
+        out_specs=_specs(n, h, d, 1)[0],
         out_shape=jax.ShapeDtypeStruct((b, n, h, d), q.dtype),
         compiler_params=params,
         cost_estimate=cost,
@@ -186,9 +193,9 @@ def _fused_attn_bwd(scale, plus1, interpret, res, do):
     )
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(b, h),
-        in_specs=_specs(n, d, 4),
-        out_specs=tuple(_specs(n, d, 3)),
+        grid=(b,),
+        in_specs=_specs(n, h, d, 4),
+        out_specs=tuple(_specs(n, h, d, 3)),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, h, d), q.dtype),
             jax.ShapeDtypeStruct((b, n, h, d), k.dtype),
