@@ -5,17 +5,19 @@ The reference computes attention as materialized ``softmax(QK^T) @ V``
 (N = 474 train / 1190 eval — *not* the 8k+ regime flash attention targets)
 the [N, N] score matrix fits comfortably in VMEM, so the right TPU kernel
 is the opposite of flash attention: **no KV tiling, no online softmax, no
-residuals**. One grid program per (batch, head)
+residuals**. One grid program per (batch, head) — operands arrive
+as [B, H, N, D] (one cheap XLA transpose from the module layout; an
+in-kernel head loop over [B, N, H, D] blocks was tried and crashes the
+Mosaic compiler: slicing a head is a per-head sublane relayout) —
 
-  - computes the full [N, N] fp32 score matrix in VMEM,
+  - computes the full [N, N] fp32 score matrix in VMEM (no padding:
+    block dims equal to the array dims are exempt from tile-divisibility,
+    Mosaic masks the unaligned N natively),
   - takes a plain (single-pass max/exp/sum) softmax,
-  - multiplies into V — never spilling scores to HBM,
+  - multiplies into V — never spilling scores to HBM;
 
-and the backward kernel **recomputes** the scores from Q/K instead of
-round-tripping the softmax output through HBM. The kernel reads Q/K/V
-straight out of the module-layout ``[B, N, H, D]`` tensors via strided
-BlockSpecs — no transposes, no padding copies; Mosaic masks the unaligned
-sequence length natively.
+the backward kernel **recomputes** the scores from Q/K instead of
+round-tripping the softmax output through HBM.
 
 Measured on the real chip (B=12, H=12, D=64, scripts/ab_attention_micro.py):
 at train length N=474 XLA's einsum composition is already at the floor
@@ -90,76 +92,67 @@ def _softmax_parts(q, k, scale: float, plus1: bool, precision):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, plus1, precision):
-    # One batch item per program; unrolled loop over heads — the [N, N]
-    # intermediates are reused head to head, so VMEM stays one head deep.
-    num_heads = q_ref.shape[2]
-    for h in range(num_heads):
-        q = q_ref[0, :, h, :]  # [N, D]
-        k = k_ref[0, :, h, :]
-        v = v_ref[0, :, h, :]
-        p, l = _softmax_parts(q, k, scale, plus1, precision)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=precision,
-            preferred_element_type=jnp.float32,
-        )
-        # Normalize after PV on [N, D] (cheaper than normalizing p on
-        # [N, N], and the division happens on the fp32 accumulator).
-        o_ref[0, :, h, :] = (o / l).astype(o_ref.dtype)
+    q = q_ref[0, 0]  # [N, D]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    p, l = _softmax_parts(q, k, scale, plus1, precision)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    # Normalize after PV on [N, D] (cheaper than normalizing p on [N, N],
+    # and the division happens on the fp32 accumulator).
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
 
 
 def _bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale, plus1, precision
 ):
-    num_heads = q_ref.shape[2]
     contract = lambda a, b, dims: jax.lax.dot_general(
         a, b, dimension_numbers=(dims, ((), ())),
         precision=precision, preferred_element_type=jnp.float32,
     )
-    for h in range(num_heads):
-        q = q_ref[0, :, h, :]
-        k = k_ref[0, :, h, :]
-        v = v_ref[0, :, h, :]
-        do = do_ref[0, :, h, :]
-        p, l = _softmax_parts(q, k, scale, plus1, precision)
-        inv_l = 1.0 / l  # [N, 1]
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    p, l = _softmax_parts(q, k, scale, plus1, precision)
+    inv_l = 1.0 / l  # [N, 1]
 
-        # dV = P_norm^T @ dO, folding the row normalization into dO (the
-        # 1/l_i rides the contraction index, so scale dO rows instead of
-        # all of P).
-        do_n = (do.astype(jnp.float32) * inv_l).astype(p.dtype)
-        dv_ref[0, :, h, :] = contract(p, do_n, ((0,), (0,))).astype(dv_ref.dtype)
+    # dV = P_norm^T @ dO, folding the row normalization into dO (the 1/l_i
+    # rides the contraction index, so scale dO rows instead of all of P).
+    do_n = (do.astype(jnp.float32) * inv_l).astype(p.dtype)
+    dv_ref[0, 0] = contract(p, do_n, ((0,), (0,))).astype(dv_ref.dtype)
 
-        # dP = dO @ V^T ; dS = P_norm * (dP - di), di = rowsum(P_norm * dP).
-        dp = contract(do, v, ((1,), (1,)))  # [N, N] fp32
-        di = jnp.sum(p * dp, axis=-1, keepdims=True) * inv_l
-        ds = (p * inv_l) * (dp - di) * jnp.float32(scale)
-        ds_c = ds.astype(q.dtype)
+    # dP = dO @ V^T ; dS = P_norm * (dP - di), di = rowsum(P_norm * dP).
+    dp = contract(do, v, ((1,), (1,)))  # [N, N] fp32
+    di = jnp.sum(p * dp, axis=-1, keepdims=True) * inv_l
+    ds = (p * inv_l) * (dp - di) * jnp.float32(scale)
+    ds_c = ds.astype(q.dtype)
 
-        dq_ref[0, :, h, :] = contract(ds_c, k, ((1,), (0,))).astype(dq_ref.dtype)
-        dk_ref[0, :, h, :] = contract(ds_c, q, ((0,), (0,))).astype(dk_ref.dtype)
+    dq_ref[0, 0] = contract(ds_c, k, ((1,), (0,))).astype(dq_ref.dtype)
+    dk_ref[0, 0] = contract(ds_c, q, ((0,), (0,))).astype(dk_ref.dtype)
 
 
-def _specs(n, h, d, count):
-    # One CONTIGUOUS batch item of the module-layout [B, N, H, D] tensor
-    # per grid program (Pallas requires the block's trailing two dims to
-    # cover the array's, so heads are looped inside the kernel rather than
-    # sliced by the grid). No transpose or pad is ever materialized.
-    spec = pl.BlockSpec((1, n, h, d), lambda b: (b, 0, 0, 0))
+def _specs(n, d, count):
+    # [B, H, N, D] blocks, one (batch, head) per program. The trailing
+    # (N, D) block dims equal the array dims, so unaligned N needs no pad.
+    spec = pl.BlockSpec((1, 1, n, d), lambda b, h: (b, h, 0, 0))
     return [spec] * count
 
 
 def _common(q, flops_factor):
-    b, n, h, d = q.shape
+    b, h, n, d = q.shape
     cost = pl.CostEstimate(
         flops=flops_factor * b * h * n * n * d,
         bytes_accessed=4 * b * h * n * d * q.dtype.itemsize,
         transcendentals=b * h * n * n,
     )
-    params = pltpu.CompilerParams(dimension_semantics=("parallel",))
-    return (b, n, h, d), cost, params
+    params = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
+    return (b, h, n, d), cost, params
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -168,16 +161,16 @@ def _fused_attn(q, k, v, scale, plus1, interpret):
 
 
 def _fused_attn_fwd(q, k, v, scale, plus1, interpret):
-    (b, n, h, d), cost, params = _common(q, 4)
+    (b, h, n, d), cost, params = _common(q, 4)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, plus1=plus1, precision=_precision_for(q.dtype)
     )
     o = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=_specs(n, h, d, 3),
-        out_specs=_specs(n, h, d, 1)[0],
-        out_shape=jax.ShapeDtypeStruct((b, n, h, d), q.dtype),
+        grid=(b, h),
+        in_specs=_specs(n, d, 3),
+        out_specs=_specs(n, d, 1)[0],
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
         compiler_params=params,
         cost_estimate=cost,
         interpret=interpret,
@@ -187,19 +180,19 @@ def _fused_attn_fwd(q, k, v, scale, plus1, interpret):
 
 def _fused_attn_bwd(scale, plus1, interpret, res, do):
     q, k, v = res
-    (b, n, h, d), cost, params = _common(q, 8)
+    (b, h, n, d), cost, params = _common(q, 8)
     kernel = functools.partial(
         _bwd_kernel, scale=scale, plus1=plus1, precision=_precision_for(q.dtype)
     )
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=_specs(n, h, d, 4),
-        out_specs=tuple(_specs(n, h, d, 3)),
+        grid=(b, h),
+        in_specs=_specs(n, d, 4),
+        out_specs=tuple(_specs(n, d, 3)),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n, h, d), q.dtype),
-            jax.ShapeDtypeStruct((b, n, h, d), k.dtype),
-            jax.ShapeDtypeStruct((b, n, h, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, n, d), v.dtype),
         ),
         compiler_params=params,
         cost_estimate=cost,
@@ -237,4 +230,8 @@ def fused_attention(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _fused_attn(q, k, v, float(scale), bool(plus1), interpret)
+    # [B, N, H, D] -> [B, H, N, D]; the inverse on the way out. XLA
+    # schedules these as cheap copies (~8.7 MB each at train geometry).
+    q, k, v = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
+    o = _fused_attn(q, k, v, float(scale), bool(plus1), interpret)
+    return jnp.transpose(o, (0, 2, 1, 3))
