@@ -21,6 +21,7 @@
 #include <cstdint>
 #include <cstring>
 #include <functional>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <thread>
@@ -513,20 +514,28 @@ void hostplane_assemble_mp3_batch(const uint8_t** datas, const int64_t* sizes,
   PoolLease lease;
   lease->ParallelFor(batch, [&](int64_t b) {
     float* dst = out + b * clip_samples;
-    // Decode the whole clip first (random_crop needs the true length).
-    std::vector<float> wav(
-        std::max<int64_t>(sizes[b] * 64 + 65536, clip_samples));
-    int64_t n = DecodeMp3One(datas[b], sizes[b], wav.data(),
-                             static_cast<int64_t>(wav.size()), &rates[b]);
+    // Decode the whole clip first (random_crop needs the true length) into
+    // a grow-only per-worker scratch buffer. A plain std::vector sized by
+    // the 64x capacity heuristic VALUE-INITIALIZES ~40 MB per 10 s clip —
+    // measured 4x slower than the decode itself; the scratch is allocated
+    // uninitialized and reused across clips on the same worker thread.
+    thread_local std::unique_ptr<float[]> wav;
+    thread_local int64_t wav_cap = 0;
+    int64_t need = std::max<int64_t>(sizes[b] * 64 + 65536, clip_samples);
+    if (need > wav_cap) {
+      wav.reset(new float[need]);
+      wav_cap = need;
+    }
+    int64_t n = DecodeMp3One(datas[b], sizes[b], wav.get(), wav_cap, &rates[b]);
     lens[b] = n;
     if (n <= 0) {
       std::memset(dst, 0, clip_samples * sizeof(float));
       return;
     }
-    if (n > static_cast<int64_t>(wav.size())) {  // capacity heuristic missed
-      wav.resize(n);
-      n = DecodeMp3One(datas[b], sizes[b], wav.data(),
-                       static_cast<int64_t>(wav.size()), &rates[b]);
+    if (n > wav_cap) {  // capacity heuristic missed (free-format stream)
+      wav.reset(new float[n]);
+      wav_cap = n;
+      n = DecodeMp3One(datas[b], sizes[b], wav.get(), wav_cap, &rates[b]);
       lens[b] = n;
     }
     Rng rng(seed * 0x100000001B3ull + static_cast<uint64_t>(b));
@@ -534,7 +543,7 @@ void hostplane_assemble_mp3_batch(const uint8_t** datas, const int64_t* sizes,
     int64_t roll, off;
     DrawAugment(rng, gain_db, roll_range, random_crop, n, clip_samples,
                 &gain, &roll, &off);
-    AssembleFromFloat(wav.data(), n, dst, clip_samples, gain, roll, off);
+    AssembleFromFloat(wav.get(), n, dst, clip_samples, gain, roll, off);
   });
 }
 

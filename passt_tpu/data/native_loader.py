@@ -215,10 +215,18 @@ class NativeBatchBuilder:
                     l = rng.beta(self.wavmix_beta, self.wavmix_beta)
                     lam[b] = np.float32(max(l, 1.0 - l))
             if apply.any():
-                bufs2, _, rows2 = self._raw_batch(partners)
-                other = self._assemble(bufs2, self._seed ^ 0x9E3779B9)
+                # decode ONLY the applied partners (the numpy chain decodes
+                # partners lazily too; at rate 0.5 this halves the extra
+                # decode work) and scatter them into a full-batch buffer
+                # for the fused C++ mix
+                sel = np.nonzero(apply)[0]
+                bufs2, _, rows2_sel = self._raw_batch([partners[j] for j in sel])
+                other_sel = self._assemble(bufs2, self._seed ^ 0x9E3779B9)
+                other = np.zeros_like(wave)
+                other[sel] = other_sel
                 native.wavmix(wave, other, lam, apply)
-                y2 = self._targets(rows2)
+                y2 = np.zeros_like(target)
+                y2[sel] = self._targets(rows2_sel)
                 if self.merge_masks:
                     k = target.shape[1] // 2
                     mixed_labels = target[:, :k] * lam[:, None] + y2[:, :k] * (
