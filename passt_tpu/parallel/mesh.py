@@ -107,16 +107,36 @@ def make_parallel_train_step(step_fn, mesh: Mesh):
     The step function is already pure; correct distribution falls out of
     input shardings (state placed by :func:`shard_params` /
     :func:`replicate`, batch by :func:`shard_batch`) + GSPMD propagation.
-    This wrapper only pins the batch sharding constraint so a replicated
+    This wrapper pins (a) the batch sharding constraint, so a replicated
     batch accidentally passed in still gets split rather than silently
-    computed redundantly.
+    computed redundantly, and (b) the OUTPUT state's param/opt shardings to
+    the canonical path-suffix rules (the same ones :func:`shard_params`
+    applies). (b) matters for optimizer transforms whose internals GSPMD
+    cannot see through — the fused Pallas AdamW flattens each leaf through
+    a pallas_call, and without the output constraint the updated moments
+    come back replicated, silently regathering the TP shards every step.
     """
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    tp = mesh.shape[MODEL_AXIS] > 1
+
+    def constrain_like_params(tree):
+        def pin(keypath, leaf):
+            if not hasattr(leaf, "ndim") or leaf.ndim == 0:
+                return leaf
+            spec = param_partition_spec(_flat_path(keypath), tp)
+            return jax.lax.with_sharding_constraint(leaf, NamedSharding(mesh, spec))
+
+        return jax.tree_util.tree_map_with_path(pin, tree)
 
     def wrapped(state, batch, rng):
         batch = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, batch_sharding), batch
         )
-        return step_fn(state, batch, rng)
+        new_state, metrics = step_fn(state, batch, rng)
+        new_state = new_state.replace(
+            params=constrain_like_params(new_state.params),
+            opt_state=constrain_like_params(new_state.opt_state),
+        )
+        return new_state, metrics
 
     return jax.jit(wrapped, donate_argnums=(0,))

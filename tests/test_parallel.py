@@ -155,3 +155,35 @@ def test_grad_accum_opt_state_shards_on_mesh(rng_np):
     p2 = np.asarray(jax.device_get(st2.params["cls_token"]))
     np.testing.assert_array_equal(p0, p1)
     assert not np.array_equal(p1, p2)
+
+
+@pytest.mark.slow
+def test_dp_tp_step_with_fused_kernels(rng_np):
+    """The production kernel path under GSPMD: fused Pallas attention
+    (attn_impl='fused', interpreted on CPU) + fused Pallas AdamW with bf16
+    stochastic-rounded moments — must shard, execute, and keep the TP
+    layout through the update (what a real multi-chip TPU run uses)."""
+    from passt_tpu.ops.pallas.adamw import FusedAdamWState
+
+    cfg = PaSSTConfig(
+        input_fdim=32, input_tdim=50, embed_dim=64, depth=2, num_heads=4,
+        num_classes=8, s_patchout_t=1, u_patchout=2, attn_impl="fused",
+    )
+    mcfg = MelConfig(n_mels=32, freqm=4, timem=8)
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=5, moments_dtype="bfloat16_sr")
+    model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0))
+    assert isinstance(state.opt_state, FusedAdamWState)
+    mesh = make_mesh(n_data=4, n_model=2)
+    state = state.replace(
+        params=shard_params(state.params, mesh),
+        opt_state=shard_params(state.opt_state, mesh),
+    )
+    assert state.opt_state.mu["blocks_0"]["attn"]["qkv"]["kernel"].dtype == jnp.bfloat16
+    batch = shard_batch(_batch(rng_np), mesh)
+    raw = make_train_step(model, tx, mcfg, use_mixup=True, donate=False, jit=False)
+    par = make_parallel_train_step(raw, mesh)
+    new_state, metrics = par(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    qkv = new_state.params["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")
+    assert new_state.opt_state.mu["blocks_0"]["attn"]["qkv"]["kernel"].sharding.spec == P(None, "model")
