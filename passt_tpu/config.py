@@ -117,8 +117,8 @@ class TrainerConfig:
     log_every_steps: int = 50
     opt_moments_dtype: Optional[str] = None  # "bfloat16" stores the AdamW
     # first moment in bf16 (-172 MB optimizer HBM for PaSST-S);
-    # "bfloat16_sr" uses the fused Pallas AdamW kernel with BOTH moments
-    # bf16 and a stochastic-rounded second moment (ops/pallas/adamw.py)
+    # "bfloat16_sr" stores BOTH moments bf16 with a stochastic-rounded
+    # second moment (train/optim.py)
     grad_accum: int = 1  # average K micro-batch grads per optimizer update
     # (optax.MultiSteps; LR schedule advances once per update)
     log_grad_norm: bool = False  # per-step global gradient norm in the

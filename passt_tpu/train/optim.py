@@ -1,0 +1,123 @@
+"""AdamW with bf16 moment storage and a stochastic-rounded second moment.
+
+The AdamW update is pure HBM bandwidth: at fp32 moments the step moves
+28 B/param (read p,g,mu,nu + write p,mu,nu) — ~2.4 GB for PaSST-S's 86 M
+params. Storing BOTH moments in bf16 cuts this to 20 B/param and halves
+optimizer HBM residency (−688 MB for PaSST-S).
+
+Numerics: optax's ``mu_dtype`` covers the first moment (its EMA increment,
+1−beta1 = 0.1 of the running value, survives bf16's 8-bit mantissa). The
+second moment does NOT: with beta2 = 0.999 the increment is ~1e-3 of the
+running value — below bf16 resolution, so a nearest-rounded bf16 nu
+simply stops updating and the effective LR drifts. ``nu`` is therefore
+stored with **stochastic rounding** (add uniform-random low bits, then
+truncate — unbiased by construction), implemented with pure-jnp bit
+twiddling that XLA fuses straight into the update's elementwise loops.
+All arithmetic is fp32 in-register; only the storage is bf16.
+
+Why not a Pallas kernel: one was built and measured
+(git history: ops/pallas/adamw.py) — numerically exact, but one
+pallas_call per parameter leaf added ~3 ms of launch/copy overhead to the
+33 ms train step (35.9 ms measured vs 33.0 baseline), swamping the ~0.8 ms
+bandwidth saving. XLA already emits near-bandwidth-bound fused loops for
+an elementwise optimizer; the win is the storage dtype, not the kernel.
+
+Reference parity: the reference trains with torch AdamW at fp32 moments
+(ex_audioset.py:97-109); this is a beyond-reference production knob
+(``trainer.opt_moments_dtype="bfloat16_sr"``), oracle-tested against
+optax.adamw and validated end-to-end by scripts/fullsize_train_demo.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class FusedAdamWState(NamedTuple):
+    count: jnp.ndarray  # int32 step counter
+    mu: optax.Params
+    nu: optax.Params
+
+
+def _stochastic_round_bf16(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """fp32 -> bf16 with unbiased stochastic rounding (bit-level: add a
+    uniform 16-bit value below the bf16 mantissa, truncate). NaN/inf pass
+    through untouched."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    r = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    t = (u + r) & jnp.uint32(0xFFFF0000)
+    sr = jax.lax.bitcast_convert_type(t, jnp.float32)
+    sr = jnp.where(jnp.isfinite(x), sr, x)
+    return sr.astype(jnp.bfloat16)
+
+
+def adamw_bf16sr(
+    learning_rate,
+    *,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 1e-4,
+    sr_nu: bool = True,
+    seed: int = 0,
+) -> optax.GradientTransformationExtraArgs:
+    """optax-compatible AdamW with bf16 mu and stochastically-rounded bf16
+    nu (see module docstring). ``learning_rate`` may be a float or an
+    optax schedule (evaluated at the pre-update count, the optax
+    convention). Composes with optax.apply_updates / optax.MultiSteps."""
+    sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
+
+    def init(params):
+        zeros = lambda p: jnp.zeros(p.shape, jnp.bfloat16)
+        return FusedAdamWState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("adamw_bf16sr requires params")
+        count = state.count + 1
+        lr = jnp.asarray(sched(state.count), jnp.float32)
+        t = count.astype(jnp.float32)
+        c1 = 1.0 - jnp.exp(t * jnp.log(jnp.float32(b1)))
+        c2 = 1.0 - jnp.exp(t * jnp.log(jnp.float32(b2)))
+        base_key = jax.random.fold_in(jax.random.PRNGKey(seed), count)
+
+        leaves_p, treedef = jax.tree_util.tree_flatten(params)
+        leaves_g = treedef.flatten_up_to(grads)
+        leaves_mu = treedef.flatten_up_to(state.mu)
+        leaves_nu = treedef.flatten_up_to(state.nu)
+        upd, new_mu, new_nu = [], [], []
+        for i, (p, g, mu, nu) in enumerate(
+            zip(leaves_p, leaves_g, leaves_mu, leaves_nu)
+        ):
+            g32 = g.astype(jnp.float32)
+            m = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g32
+            v = b2 * nu.astype(jnp.float32) + (1.0 - b2) * g32 * g32
+            step = (m / c1) / (jnp.sqrt(v / c2) + eps) + weight_decay * p.astype(
+                jnp.float32
+            )
+            upd.append((-lr * step).astype(p.dtype))
+            new_mu.append(m.astype(jnp.bfloat16))
+            if sr_nu:
+                new_nu.append(
+                    _stochastic_round_bf16(v, jax.random.fold_in(base_key, i))
+                )
+            else:
+                new_nu.append(v.astype(jnp.bfloat16))
+        return (
+            jax.tree_util.tree_unflatten(treedef, upd),
+            FusedAdamWState(
+                count=count,
+                mu=jax.tree_util.tree_unflatten(treedef, new_mu),
+                nu=jax.tree_util.tree_unflatten(treedef, new_nu),
+            ),
+        )
+
+    return optax.GradientTransformationExtraArgs(init, update)

@@ -93,12 +93,13 @@ def make_optimizer(
         base_schedule = schedule
         schedule = lambda u: base_schedule(u * grad_accum)  # noqa: E731
     if moments_dtype == "bfloat16_sr":
-        # fused Pallas AdamW: BOTH moments in bf16, nu stochastic-rounded
-        # (ops/pallas/adamw.py) — 28 -> 20 B/param of update traffic and
-        # -688 MB optimizer HBM for PaSST-S
-        from passt_tpu.ops.pallas.adamw import fused_adamw
+        # BOTH moments in bf16, nu stochastic-rounded (train/optim.py) —
+        # 28 -> 20 B/param of update traffic and -688 MB optimizer HBM
+        # for PaSST-S; pure-jnp so XLA fuses it (a per-leaf Pallas kernel
+        # was measured 3 ms SLOWER end-to-end — see optim.py docstring)
+        from passt_tpu.train.optim import adamw_bf16sr
 
-        tx = fused_adamw(
+        tx = adamw_bf16sr(
             schedule, weight_decay=weight_decay if adamw else 0.0
         )
     else:

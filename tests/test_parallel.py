@@ -163,7 +163,7 @@ def test_dp_tp_step_with_fused_kernels(rng_np):
     (attn_impl='fused', interpreted on CPU) + fused Pallas AdamW with bf16
     stochastic-rounded moments — must shard, execute, and keep the TP
     layout through the update (what a real multi-chip TPU run uses)."""
-    from passt_tpu.ops.pallas.adamw import FusedAdamWState
+    from passt_tpu.train.optim import FusedAdamWState
 
     cfg = PaSSTConfig(
         input_fdim=32, input_tdim=50, embed_dim=64, depth=2, num_heads=4,
