@@ -1,5 +1,7 @@
 """Offline-prep metadata parsing tests (synthetic CSVs)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -122,3 +124,63 @@ def test_transcode_tool_missing_ffmpeg(tmp_path, monkeypatch):
     monkeypatch.setenv("PATH", str(tmp_path))  # nothing on PATH
     with pytest.raises(SystemExit, match="ffmpeg not found"):
         t.transcode_tree(str(tmp_path), str(tmp_path / "o"), [""], 1, 32000)
+
+
+def test_openmic_end_to_end_prep(tmp_path):
+    """The OpenMIC prep chain (scripts/prepare_openmic.py) minus the
+    network download: real .ogg files -> in-process vorbis decode ->
+    resample to 32 kHz -> libmp3lame encode -> packed [labels || mask]
+    HDF5 -> readable by the OpenMIC dataset config (reference
+    openmic/prepare_scripts/download_preprocess.py, ffmpeg-free here)."""
+    import shutil
+    import sys
+
+    from passt_tpu.data.prepare import mp3enc, oggdec
+    from passt_tpu.data import native
+
+    ogg_src = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.ogg"
+    if not (oggdec.available() and mp3enc.available() and native.mp3_available()):
+        pytest.skip("vorbis/lame/mpg123 stack not complete on this host")
+    if not os.path.isfile(ogg_src):
+        pytest.skip("no sample ogg on this image")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import prepare_openmic
+
+    # synthetic extracted dataset layout
+    root = tmp_path / "openmic-2018"
+    keys = ["aaa001", "bbb002", "ccc003"]
+    rng = np.random.default_rng(0)
+    y_true = rng.uniform(size=(3, 20)).astype(np.float32)
+    y_mask = rng.uniform(size=(3, 20)) < 0.5
+    for k in keys:
+        d = root / "audio" / k[:3]
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copy(ogg_src, d / f"{k}.ogg")
+    np.savez(
+        root / "openmic-2018.npz",
+        sample_key=np.array(keys),
+        Y_true=y_true,
+        Y_mask=y_mask,
+    )
+    (root / "partitions").mkdir()
+    (root / "partitions" / "split01_train.csv").write_text("\n".join(keys[:2]) + "\n")
+
+    out = tmp_path / "openmic_train.h5"
+    n = prepare_openmic.pack_split(
+        str(root), str(root / "partitions" / "split01_train.csv"), str(out)
+    )
+    assert n == 2
+
+    from passt_tpu.data import HDF5AudioDataset
+
+    ds = HDF5AudioDataset(
+        str(out), classes_num=40, clip_length=2, packed_targets=False,
+        sample_rate=32000,
+    )
+    wave, name, target = ds[0]
+    assert name == "aaa001.mp3"
+    assert wave.shape == (64000,) and np.abs(wave).max() > 0.01
+    assert target.shape == (40,)
+    np.testing.assert_allclose(target[:20], y_true[0], atol=1e-6)
+    np.testing.assert_array_equal(target[20:], y_mask[0].astype(np.float32))
