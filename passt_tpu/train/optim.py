@@ -46,9 +46,18 @@ class FusedAdamWState(NamedTuple):
 def _stochastic_round_bf16(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """fp32 -> bf16 with unbiased stochastic rounding (bit-level: add a
     uniform 16-bit value below the bf16 mantissa, truncate). NaN/inf pass
-    through untouched."""
+    through untouched.
+
+    Random bits come from ``lax.rng_bit_generator`` (the hardware RNG on
+    TPU) rather than threefry: the optimizer touches every parameter every
+    step, and software counter-based bits are pure VPU overhead here. The
+    bit stream is backend-dependent — fine for rounding noise (the EMA is
+    unbiased for ANY uniform stream), not for reproducible model
+    randomness."""
     u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    r = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    kd = jax.random.key_data(key) if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key
+    k4 = jnp.concatenate([kd.astype(jnp.uint32).reshape(-1)] * 2)[:4]
+    r = jax.lax.rng_bit_generator(k4, x.shape, dtype=jnp.uint32)[1] & jnp.uint32(0xFFFF)
     t = (u + r) & jnp.uint32(0xFFFF0000)
     sr = jax.lax.bitcast_convert_type(t, jnp.float32)
     sr = jnp.where(jnp.isfinite(x), sr, x)
