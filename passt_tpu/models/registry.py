@@ -134,6 +134,7 @@ def get_model_config(
     dtype: str = "float32",
     gelu: str = "auto",
     plus1_attn: bool = False,
+    attn_impl: str = "auto",
 ) -> PaSSTConfig:
     """Resolve an arch name + overrides to a :class:`PaSSTConfig`
     (the reference ``get_model`` signature, passt.py:957-961)."""
@@ -161,6 +162,7 @@ def get_model_config(
         dtype=dtype,
         gelu=gelu,
         plus1_attn=plus1_attn,
+        attn_impl=attn_impl,
     )
 
 

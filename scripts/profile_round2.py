@@ -39,26 +39,33 @@ def glue():
         var = ((x - mu) ** 2).mean(-1, keepdims=True)
         return (x - mu) * jax.lax.rsqrt(var + 1e-6) * gamma + beta
 
-    def mlp(x, use_gelu=True):
-        h = x.astype(jnp.bfloat16) @ w1
-        if use_gelu:
-            h = nn.gelu(h, approximate=True)
-        return (h @ w2).astype(jnp.float32)
+    def mlp_of(use_gelu):
+        def f(x, w1, w2):
+            h = x.astype(jnp.bfloat16) @ w1
+            if use_gelu:
+                h = nn.gelu(h, approximate=True)
+            return (h @ w2).astype(jnp.float32)
+        return f
 
-    loss = lambda fn: (lambda x: jnp.sum(fn(x) * g))
+    # grads wrt x AND the weights — the real training contraction set
+    loss3 = lambda fn: (lambda x, w1, w2: jnp.sum(fn(x, w1, w2) * g))
+    loss1 = lambda fn: (lambda x: jnp.sum(fn(x) * g))
     entries = [
-        ("mlp fwd gelu", lambda x: mlp(x), 12),
-        ("mlp fwd plain", lambda x: mlp(x, False), 12),
-        ("mlp grad gelu", jax.grad(loss(mlp)), 12),
-        ("mlp grad plain", jax.grad(loss(lambda x: mlp(x, False))), 12),
-        ("ln fwd", ln, 25),
-        ("ln grad", jax.grad(loss(ln)), 25),
+        ("mlp fwd gelu", mlp_of(True), (x32, w1, w2), 12),
+        ("mlp grad gelu", jax.grad(loss3(mlp_of(True)), argnums=(0, 1, 2)), (x32, w1, w2), 12),
+        ("mlp grad plain", jax.grad(loss3(mlp_of(False)), argnums=(0, 1, 2)), (x32, w1, w2), 12),
+        ("ln fwd", ln, (x32,), 25),
+        ("ln grad", jax.grad(loss1(ln)), (x32,), 25),
     ]
-    for name, fn, mult in entries:
-        wrapped = (lambda f: (lambda x: jax.tree_util.tree_reduce(
-            lambda s, y: s + jnp.sum(y).astype(jnp.float32), f(x), jnp.float32(0)
+    for name, fn, args, mult in entries:
+        wrapped = (lambda f: (lambda *a: jax.tree_util.tree_reduce(
+            lambda s, y: s + jnp.sum(y).astype(jnp.float32), f(*a), jnp.float32(0)
         )))(fn)
-        ms = timed(wrapped, x32, steps=30) * 1e3
+        try:
+            ms = timed(wrapped, *args, steps=40, reps=5) * 1e3
+        except RuntimeError as e:
+            print(f"[glue] {name}: SKIPPED ({e})", flush=True)
+            continue
         print(f"[glue] {name}: {ms:.3f} ms (x{mult} = {ms*mult:.2f} ms)", flush=True)
 
 
