@@ -55,6 +55,11 @@ cfg = apply_overrides(exp.default_config, {
     "trainer.swa_freq": "1",
     "trainer.log_every_steps": "40",
 })
+# extra "key=value" overrides from argv (e.g. the bf16+SR optimizer knob:
+# python scripts/fullsize_train_demo.py trainer.opt_moments_dtype=bfloat16_sr)
+if len(sys.argv) > 1:
+    cfg = apply_overrides(cfg, dict(kv.split("=", 1) for kv in sys.argv[1:]))
+    print("extra overrides:", sys.argv[1:])
 t0 = time.time()
 res = exp.main(cfg)
 h = res["history"]
