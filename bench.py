@@ -21,13 +21,18 @@ Two distinct baselines — kept separate on purpose:
   by THIS estimated 500 so the headline stays conservative; the measured
   anchor above is the number with no estimation in it.
 
-PARITY.md "Performance notes" carries the full per-stage budget, the MFU
-derivation (52% of the chip's 188 TFLOP/s delivered matmul peak
-sustained), the tanh-GELU-under-bf16 analysis, the measured custom-kernel
-bounds on attention (ops/pallas/attention.py), and the A/B'd dead ends.
-Reaching vs_baseline 1.0 needs 71% of clean matmul peak sustained through
-every non-matmul stage; each remaining non-matmul millisecond is bounded
-there by a measured kernel attempt, not an estimate.
+The measured configuration is the framework's production default: fused
+Pallas attention (attn_impl=auto) and bf16 AdamW moments with a
+stochastic-rounded second moment (opt_moments_dtype=bfloat16_sr) — both
+quality-validated at full size (PARITY.md; the 50-tone 86M demo reaches
+mAP 0.893 under bf16+SR vs 0.894 with fp32 moments). Expected ~32.3
+ms/step = ~372 specs/s = 53% of the chip's 188 TFLOP/s delivered matmul
+peak sustained through the whole step. PARITY.md "Performance notes"
+carries the per-stage budget, the MFU derivation, and the
+kernel-by-kernel table bounding each remaining non-matmul millisecond
+with a MEASURED custom-kernel attempt (fused attention, fused mel,
+per-leaf Pallas optimizer, flash attention, ...), not an estimate;
+vs_baseline 1.0 would need 71% sustained.
 """
 
 import json
@@ -51,7 +56,7 @@ def main():
 
     cfg = PaSSTConfig(dtype="bfloat16", s_patchout_t=40, s_patchout_f=4)
     mel_cfg = MelConfig(fmin_aug_range=10, fmax_aug_range=2000)
-    tx = make_optimizer(lr=2e-5, steps_per_epoch=1000)
+    tx = make_optimizer(lr=2e-5, steps_per_epoch=1000, moments_dtype="bfloat16_sr")
     model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0))
 
     raw_step = make_train_step(
