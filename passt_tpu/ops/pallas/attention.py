@@ -20,13 +20,19 @@ the backward kernel **recomputes** the scores from Q/K instead of
 round-tripping the softmax output through HBM.
 
 Measured on the real chip (B=12, H=12, D=64, scripts/ab_attention_micro.py):
-at train length N=474 XLA's einsum composition is already at the floor
-(fwd 0.103 ms, fwd+bwd 0.446 ms per block — the fused kernel ties fwd+bwd
-and loses fwd), but at eval length N=1190 the [B*H, N, N] materialization
-starts to hurt XLA and the fused kernel wins ~10% end-to-end. The generic
-flash kernel was measured ~9x slower than XLA at this N (PARITY.md
-"Measured dead ends"): its small-block online-softmax machinery solves a
-problem PaSST does not have.
+standalone fwd 0.142 vs 0.127 ms XLA, but fwd+grad **0.246 vs 0.416 ms
+per block (1.7x)** — the recompute-in-backward beats XLA's saved-softmax
+backward. In the FULL train graph the step is 32.91 vs 32.99 ms (XLA
+fuses its attention backward into the adjacent qkv/proj gradient matmuls,
+absorbing most of the standalone win); at eval length N=1190 the
+[B*H, N, N] materialization hurts XLA and the fused kernel wins 11%
+end-to-end (3.45 vs 3.82 ms per B=12 step). The generic flash kernel was
+measured ~9x slower than XLA at this N (PARITY.md "Measured dead ends"):
+its small-block online-softmax machinery solves a problem PaSST does not
+have. Two structural variants are measured dead ends: padded blocks with
+explicit transposes (+2.4 ms full step) and a one-program-per-batch
+head-loop layout (crashes the Mosaic compiler on the per-head sublane
+relayout).
 
 Numerics: scores/softmax are always fp32 (the module's ``softmax_fp32``
 semantics); the probability matrix is cast to the input dtype for the PV
