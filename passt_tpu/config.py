@@ -244,13 +244,15 @@ PRESETS: Dict[str, Dict[str, str]] = {
         "data.eval_pad_multiple_s": "5",
     },
     # reference-exact variable-length eval: every clip at its true length,
-    # batch_size=1, no padding (fsd50k/dataset.py:70-79; the reference's
-    # variable_eval named config) — slower (one jit shape per distinct
-    # 5-s bucket is avoided, so each new length compiles) but bitwise the
-    # published protocol
+    # no padding (fsd50k/dataset.py:70-79; the reference's variable_eval
+    # named config runs it at batch_size=1). With a length-metadata
+    # container the loader groups clips by EXACT length (length-pure
+    # batches of up to eval_batch_size — still bitwise the published
+    # protocol) so each distinct length compiles once; containers without
+    # metadata fall back to batch_size=1.
     "exact_eval": {
         "data.clip_length": "null",
-        "data.eval_batch_size": "1",
+        "data.eval_batch_size": "20",
         "data.eval_pad_multiple_s": "0",
     },
     # pretrained archs (config_updates.py:55-134)

@@ -330,6 +330,29 @@ class HDF5AudioDataset(AudioDataset):
         function of (seed, i)."""
         self._seed = seed
 
+    def item_lengths(self) -> np.ndarray:
+        """Per-item waveform lengths AFTER the pipeline's stride resample —
+        drives length-grouped exact eval (LengthGroupedBatchSampler).
+
+        Prefers the packers' ``length_samples`` column; raw-PCM columns
+        fall back to one pass over the vlen rows (a one-time full read);
+        encoded columns without the metadata raise (decoding everything
+        just to learn lengths belongs to the caller's prep step)."""
+        f = self._open()
+        if "length_samples" in f:
+            src = np.asarray(f["length_samples"][:], np.int64)
+        elif self.audio_column == "raw_i16":
+            src = np.asarray([len(r) // 2 for r in f[self.audio_column][:]], np.int64)
+        elif self.audio_column in ("raw_f32", "waveform"):
+            src = np.asarray([len(r) // 4 for r in f[self.audio_column][:]], np.int64)
+        else:
+            raise ValueError(
+                f"container has no length_samples column and {self.audio_column!r} "
+                "rows cannot be sized without decoding; repack with lengths"
+            )
+        factor = self.source_rate // self.sample_rate if self.sample_rate != self.source_rate else 1
+        return -(-src // factor) if factor > 1 else src
+
     def set_epoch(self, epoch: int) -> None:
         self._seed = epoch_seed(self._base_seed, epoch)
 

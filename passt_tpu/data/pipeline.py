@@ -63,22 +63,30 @@ class DataLoader:
     ``batch_builder`` (optional) replaces per-item reads + collate with a
     fused ``fn(indices) -> batch dict`` — the hook for the native C++
     batch assembler (passt_tpu.data.native_loader).
+
+    ``batch_sampler`` (optional, instead of ``sampler``+``batch_size``)
+    yields whole index lists per batch — the hook for length-grouped exact
+    eval where batch boundaries must align with clip-length groups.
     """
 
     def __init__(
         self,
         dataset: AudioDataset,
-        batch_size: int,
-        sampler,
+        batch_size: int = 1,
+        sampler=None,
         collate: Callable = default_collate,
         drop_last: bool = False,
         prefetch: int = 2,
         num_workers: int = 0,
         batch_builder: Optional[Callable] = None,
+        batch_sampler=None,
     ):
+        if (sampler is None) == (batch_sampler is None):
+            raise ValueError("provide exactly one of sampler or batch_sampler")
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
+        self.batch_sampler = batch_sampler
         self.collate = collate
         self.drop_last = drop_last
         self.prefetch = prefetch
@@ -87,7 +95,7 @@ class DataLoader:
         self._pool = None
 
     def set_epoch(self, epoch: int) -> None:
-        if hasattr(self.sampler, "set_epoch"):
+        if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
         from passt_tpu.data.datasets import set_epoch_recursive
 
@@ -96,6 +104,8 @@ class DataLoader:
             self.batch_builder.set_epoch(epoch)
 
     def __len__(self) -> int:
+        if self.batch_sampler is not None:
+            return len(self.batch_sampler)
         n = len(self.sampler)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
@@ -111,6 +121,10 @@ class DataLoader:
         return [self.dataset[i] for i in idxs]
 
     def _iter_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.batch_sampler is not None:
+            for idxs in self.batch_sampler:
+                yield self._build(list(idxs))
+            return
         buf = []
         for idx in self.sampler:
             buf.append(idx)

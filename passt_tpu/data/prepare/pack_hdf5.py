@@ -50,6 +50,12 @@ def pack_waveform_hdf5(
         for i, w in enumerate(waves):
             ds[i] = w
         f.create_dataset("target", data=targets)
+        # per-clip sample counts: drives length-grouped exact eval without
+        # touching the audio rows
+        f.create_dataset(
+            "length_samples",
+            data=np.asarray([len(w) // 2 for w in waves], np.int64),
+        )
         f.attrs["sample_rate"] = sample_rate
     return len(waves)
 
@@ -60,9 +66,13 @@ def pack_bytes_hdf5(
     column: str = "mp3",
     sample_rate: int = 32000,
     packed_targets: bool = True,
+    lengths: "Optional[Iterable[int]]" = None,
 ) -> int:
     """items: (name, encoded_bytes, target). Same container layout as the
-    reference's mp3 HDF5s (audio_name S-col, vlen uint8 bytes, targets)."""
+    reference's mp3 HDF5s (audio_name S-col, vlen uint8 bytes, targets).
+    ``lengths`` (decoded sample counts, known to the encoder) additionally
+    writes the ``length_samples`` column that enables length-grouped exact
+    eval on encoded containers."""
     import h5py
 
     names, blobs, targets = [], [], []
@@ -79,5 +89,10 @@ def pack_bytes_hdf5(
         for i, b in enumerate(blobs):
             ds[i] = b
         f.create_dataset("target", data=targets)
+        if lengths is not None:
+            ln = np.asarray(list(lengths), np.int64)
+            if len(ln) != len(blobs):
+                raise ValueError("lengths must match items")
+            f.create_dataset("length_samples", data=ln)
         f.attrs["sample_rate"] = sample_rate
     return len(blobs)

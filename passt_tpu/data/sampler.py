@@ -16,7 +16,7 @@ same distribution as torch's iterative WeightedRandomSampler.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -127,3 +127,41 @@ class ShuffleSampler:
         rng = np.random.default_rng(self.seed + self.epoch)
         perm = rng.permutation(self.n)
         return iter(perm[self.rank :: self.num_replicas].tolist())
+
+
+class LengthGroupedBatchSampler:
+    """Batch sampler for EXACT variable-length eval: indices grouped by
+    exact clip length, chunks of at most ``batch_size`` — batch boundaries
+    never straddle two lengths, so no clip is ever padded and the numerics
+    are bitwise the reference's batch_size=1 protocol
+    (fsd50k/dataset.py:70-79) while FSD50K's ~10k-clip eval needs one jit
+    compile per DISTINCT length instead of hours of per-clip recompiles,
+    and identical-length clips batch onto the MXU together.
+
+    Order is deterministic: ascending length, original index order within
+    a length group (eval metrics are order-invariant; outputs are
+    re-associated by index downstream through the loader's item order)."""
+
+    def __init__(self, lengths, batch_size: int, num_replicas: int = 1, rank: int = 0):
+        self.batch_size = int(batch_size)
+        by_len: Dict[int, List[int]] = {}
+        for i, n in enumerate(lengths):
+            by_len.setdefault(int(n), []).append(i)
+        self.batches: List[List[int]] = []
+        for n in sorted(by_len):
+            idxs = by_len[n]
+            for k in range(0, len(idxs), self.batch_size):
+                self.batches.append(idxs[k : k + self.batch_size])
+        self.num_distinct_lengths = len(by_len)
+        if num_replicas > 1:
+            # round-robin over WHOLE batches: every shard stays length-pure
+            self.batches = self.batches[rank::num_replicas]
+
+    def set_epoch(self, epoch: int) -> None:  # deterministic eval order
+        pass
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)

@@ -159,23 +159,51 @@ def build_train_loader(cfg: ExperimentConfig, dataset=None, batch_scale: int = 1
 
 def build_eval_loader(cfg: ExperimentConfig, which: Optional[str] = None, batch_size=None):
     which = which or cfg.data.eval_set
+    d = cfg.data
     ds = build_eval_dataset(cfg, which)
-    bs = batch_size or cfg.data.eval_batch_size
+    bs = batch_size or d.eval_batch_size
+    num_replicas, rank = _resolve_rank(d)
+    if d.clip_length is None and not d.eval_pad_multiple_s and bs > 1:
+        # EXACT variable-length eval, batched: group clips by exact length
+        # so no clip is ever padded (bitwise the reference's batch_size=1
+        # protocol) and each distinct length compiles once instead of the
+        # per-clip recompiles the naive exact protocol pays.
+        try:
+            lengths = ds.item_lengths()
+        except ValueError as e:
+            print(f"[eval] exact eval falls back to batch_size=1 ({e})")
+            bs, sampler = 1, None
+        else:
+            from passt_tpu.data.sampler import LengthGroupedBatchSampler
+
+            bsampler = LengthGroupedBatchSampler(lengths, bs, num_replicas, rank)
+            print(
+                f"[eval] length-grouped exact eval: {len(lengths)} clips, "
+                f"{bsampler.num_distinct_lengths} distinct lengths, "
+                f"{len(bsampler)} batches"
+            )
+            return DataLoader(
+                ds,
+                batch_sampler=bsampler,
+                collate=default_collate,
+                prefetch=d.prefetch,
+                num_workers=d.num_workers,
+            )
     collate = default_collate
-    if cfg.data.eval_pad_multiple_s:
+    if d.eval_pad_multiple_s:
         import functools
 
         collate = functools.partial(
             default_collate,
-            pad_to_multiple=int(cfg.data.eval_pad_multiple_s * cfg.data.sample_rate),
+            pad_to_multiple=int(d.eval_pad_multiple_s * d.sample_rate),
         )
     return DataLoader(
         ds,
         bs,
-        SequentialSampler(len(ds)),
+        SequentialSampler(len(ds), num_replicas, rank),
         collate=collate,
-        prefetch=cfg.data.prefetch,
-        num_workers=cfg.data.num_workers,
+        prefetch=d.prefetch,
+        num_workers=d.num_workers,
     )
 
 

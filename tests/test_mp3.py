@@ -194,3 +194,41 @@ def test_lame_encoder_roundtrip():
     lag = int(np.argmax(c))
     corr = np.corrcoef(dec[lag : lag + n], wave[:n])[0, 1]
     assert corr > 0.999
+
+
+def test_native_two_container_mp3_chain(tmp_path):
+    """The ACTUAL flagship shape: TWO mp3 containers (balanced+unbalanced),
+    fused C++ decode+assembly, global-index routing — bit-identical to the
+    numpy ConcatDataset chain with augmentation off."""
+    from passt_tpu.data import ConcatDataset, HDF5AudioDataset, native
+    from passt_tpu.data.native_loader import NativeBatchBuilder
+    from passt_tpu.data.pipeline import default_collate
+    from passt_tpu.data.prepare import mp3enc, pack_bytes_hdf5
+
+    if not (native.mp3_available() and mp3enc.available()):
+        pytest.skip("mp3 encode/decode stack unavailable")
+
+    rng = np.random.default_rng(3)
+
+    def container(path, n, seed):
+        items = []
+        for i in range(n):
+            w = (np.random.default_rng(seed + i).standard_normal(32000) * 0.1).astype(
+                np.float32
+            )
+            t = np.zeros(16)
+            t[i % 16] = 1
+            items.append((f"s{seed}_{i}.mp3", mp3enc.encode_mp3(w, 32000), t))
+        pack_bytes_hdf5(str(path), items, column="mp3", sample_rate=32000)
+        return HDF5AudioDataset(str(path), classes_num=16, clip_length=1)
+
+    ds1 = container(tmp_path / "bal.h5", 6, 100)
+    ds2 = container(tmp_path / "unbal.h5", 9, 200)
+    cat = ConcatDataset([ds1, ds2])
+    builder = NativeBatchBuilder([ds1, ds2], seed=0, num_workers=2)
+    idxs = [0, 7, 5, 14, 2, 6]  # interleaved across the boundary (6)
+    nat = builder(idxs)
+    ref = default_collate([cat[i] for i in idxs])
+    np.testing.assert_array_equal(nat["wave"], ref["wave"])
+    np.testing.assert_array_equal(nat["target"], ref["target"])
+    assert nat["name"] == ref["name"]

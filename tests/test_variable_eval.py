@@ -66,7 +66,9 @@ def test_exact_eval_preset():
     base = EXPERIMENTS["fsd50k"].default_config
     _, cfg = parse_cli(["evaluate_only", "exact_eval"], base)
     assert cfg.data.clip_length is None
-    assert cfg.data.eval_batch_size == 1
+    # batched since round 2: the loader groups clips by EXACT length, so
+    # bs>1 stays bitwise the reference's bs=1 protocol (no padding ever)
+    assert cfg.data.eval_batch_size == 20
     assert cfg.data.eval_pad_multiple_s == 0
 
 
@@ -149,3 +151,62 @@ def test_padded_vs_exact_eval_ap_delta(tmp_path, rng_np):
     print(f"exact ap={m_exact['ap']:.4f} padded ap={m_padded['ap']:.4f} delta={delta:.4f}")
     assert m_exact["ap"] > 0.5 and m_padded["ap"] > 0.5  # both learned protocols work
     assert delta < 0.3  # loose sanity bound; see docstring
+
+
+def test_length_grouped_exact_eval_bitwise_vs_bs1(tmp_path, rng_np):
+    """Length-grouped batched exact eval produces EXACTLY the bs=1 exact
+    outputs (no padding, length-pure batches), with far fewer batches and
+    one compile per distinct length."""
+    import dataclasses
+
+    from passt_tpu.data import HDF5AudioDataset
+    from passt_tpu.data.prepare import pack_waveform_hdf5
+    from passt_tpu.data.sampler import LengthGroupedBatchSampler
+    from passt_tpu.experiments import EXPERIMENTS
+    from passt_tpu.experiments.common import build_eval_loader
+
+    # 12 clips over 3 distinct lengths
+    lens = [8000, 12000, 8000, 16000, 12000, 8000, 16000, 8000, 12000, 8000, 16000, 12000]
+    items = []
+    for i, n in enumerate(lens):
+        w = (rng_np.standard_normal(n) * 0.1).astype(np.float32)
+        t = np.zeros(16)
+        t[i % 16] = 1
+        items.append((f"c{i:02d}.wav", w, t))
+    path = str(tmp_path / "var.h5")
+    pack_waveform_hdf5(path, items)
+
+    ds = HDF5AudioDataset(path, classes_num=16, clip_length=None)
+    np.testing.assert_array_equal(ds.item_lengths(), lens)
+
+    base = EXPERIMENTS["fsd50k"].default_config
+    cfg = dataclasses.replace(
+        base,
+        data=dataclasses.replace(
+            base.data, eval_hdf5=path, num_classes=16, clip_length=None,
+            eval_pad_multiple_s=0.0, eval_batch_size=4, packed_targets=True,
+        ),
+    )
+    loader = build_eval_loader(cfg)
+    batches = list(iter(loader))
+    # length-pure batches: 5x8000 -> 2 chunks, 4x12000 -> 1, 3x16000 -> 1
+    assert len(batches) == 4 == len(loader)
+    by_name = {}
+    for b in batches:
+        assert len({b["wave"].shape[1]}) == 1
+        for j, name in enumerate(b["name"]):
+            w = b["wave"][j]
+            by_name[name] = w
+    # bitwise equal to the bs=1 exact protocol (no padding anywhere)
+    cfg1 = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, eval_batch_size=1)
+    )
+    for b in iter(build_eval_loader(cfg1)):
+        (name,) = b["name"]
+        np.testing.assert_array_equal(b["wave"][0], by_name[name])
+
+    # rank-sharded: disjoint batch cover
+    s0 = LengthGroupedBatchSampler(lens, 4, num_replicas=2, rank=0)
+    s1 = LengthGroupedBatchSampler(lens, 4, num_replicas=2, rank=1)
+    all_idx = [i for b in list(s0) + list(s1) for i in b]
+    assert sorted(all_idx) == list(range(12))
