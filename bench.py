@@ -22,12 +22,15 @@ Two distinct baselines — kept separate on purpose:
   anchor above is the number with no estimation in it.
 
 The measured configuration is the framework's production default: fused
-Pallas attention (attn_impl=auto) and bf16 AdamW moments with a
+Pallas attention (attn_impl=auto), bf16 AdamW moments with a
 stochastic-rounded second moment (opt_moments_dtype=bfloat16_sr) — both
 quality-validated at full size (PARITY.md; the 50-tone 86M demo reaches
-mAP 0.893 under bf16+SR vs 0.894 with fp32 moments). Expected ~32.3
-ms/step = ~372 specs/s = 53% of the chip's 188 TFLOP/s delivered matmul
-peak sustained through the whole step. PARITY.md "Performance notes"
+mAP 0.893 under bf16+SR vs 0.894 with fp32 moments) — and the
+frame-decomposed patch embed (patch_embed_impl=unfold; the overlapping
+stride-10 conv lowers at ~3% MXU efficiency, the reformulation is
+checkpoint-compatible and exact). Expected ~31.4 ms/step = ~382 specs/s
+= 54% of the chip's 188 TFLOP/s delivered matmul peak sustained through
+the whole step. PARITY.md "Performance notes"
 carries the per-stage budget, the MFU derivation, and the
 kernel-by-kernel table bounding each remaining non-matmul millisecond
 with a MEASURED custom-kernel attempt (fused attention, fused mel,

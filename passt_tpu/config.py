@@ -40,6 +40,11 @@ class ModelSelect:
     # 22% faster fwd+bwd; see PaSSTConfig.gelu)
     plus1_attn: bool = False  # "+1 trick" quiet attention (reference
     # PLUS1_TRICK, passt.py:295 — a module global hardcoded False there)
+    attn_impl: str = "auto"  # attention kernel: "fused" (Pallas) | "xla" |
+    # "auto" (fused on TPU; see PaSSTConfig.attn_impl)
+    patch_embed_impl: str = "unfold"  # "unfold" (strided-slice im2col + one
+    # MXU matmul) | "conv" (XLA conv; ~3% MXU efficiency for the
+    # overlapping stride-10 16x16 kernel — see PaSSTConfig.patch_embed_impl)
     # ensemble evaluation (reference ensemble named configs,
     # config_updates.py:136-222): name into registry.ENSEMBLES plus a
     # directory of ported checkpoints named <arch>.npz
@@ -158,6 +163,8 @@ class ExperimentConfig:
             dtype=m.dtype,
             gelu=m.gelu,
             plus1_attn=m.plus1_attn,
+            attn_impl=m.attn_impl,
+            patch_embed_impl=m.patch_embed_impl,
         )
 
     def pretty(self) -> str:

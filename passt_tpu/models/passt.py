@@ -84,6 +84,12 @@ class PaSSTConfig:
     # 35.3 ms at B=12, measured; see PARITY.md "Performance notes").
     remat: bool = False  # rematerialize blocks in backward (HBM-traffic relief)
     softmax_fp32: bool = True  # fp32 attention softmax (False: bf16, faster)
+    patch_embed_impl: str = "unfold"  # "unfold": frame-decomposed MXU
+    # matmuls (free stride-granular reshape + 4 dot_generals); "conv": XLA
+    # conv. The overlapping stride-10 16x16 conv lowers at ~3% MXU
+    # efficiency on TPU (full step 32.40 vs 31.39 ms unfold, B=12); both
+    # share the exact nn.Conv parameter layout so checkpoints are
+    # interchangeable (see PatchEmbed).
     attn_impl: str = "auto"  # "fused" (Pallas VMEM-resident kernel, fp32
     # softmax, recompute-in-backward — ops/pallas/attention.py), "xla"
     # (einsum composition), or "auto": fused on TPU, xla elsewhere.
@@ -325,19 +331,96 @@ class PatchEmbed(nn.Module):
     in_chans: int
     dtype: Dtype
 
+    unfold: bool = True  # True: frame-decomposed dot_generals (see
+    # _UnfoldProj); False: XLA conv. The overlapping stride-10 16x16 conv
+    # lowers at ~3% MXU efficiency on TPU (measured 1.29 ms fwd at B=12 vs
+    # 0.03 ms matmul-ideal; full train step 32.40 -> 31.39 ms with the
+    # frame formulation). Identical parameters (HWIO kernel + bias under
+    # the same 'proj' scope) — checkpoints are interchangeable; outputs
+    # agree to fp32-accumulation tolerance.
+
     @nn.compact
     def __call__(self, x):
-        fan_in = self.patch_size[0] * self.patch_size[1] * self.in_chans
-        return nn.Conv(
-            self.embed_dim,
-            kernel_size=self.patch_size,
-            strides=self.stride,
-            padding="VALID",
-            dtype=self.dtype,
-            kernel_init=torch_conv_kernel_init,
-            bias_init=torch_conv_bias_init(fan_in),
-            name="proj",
+        if not self.unfold:
+            fan_in = self.patch_size[0] * self.patch_size[1] * self.in_chans
+            return nn.Conv(
+                self.embed_dim,
+                kernel_size=self.patch_size,
+                strides=self.stride,
+                padding="VALID",
+                dtype=self.dtype,
+                kernel_init=torch_conv_kernel_init,
+                bias_init=torch_conv_bias_init(fan_in),
+                name="proj",
+            )(x)
+        return _UnfoldProj(
+            self.embed_dim, self.patch_size, self.stride, self.in_chans,
+            self.dtype, name="proj",
         )(x)
+
+
+class _UnfoldProj(nn.Module):
+    """Patch embedding as frame-decomposed MXU matmuls, with nn.Conv's
+    exact parameter layout (HWIO ``kernel`` + ``bias``) so checkpoints are
+    interchangeable with the conv formulation (reference conv:
+    models/passt.py:298-328)."""
+
+    embed_dim: int
+    patch_size: Tuple[int, int]
+    stride: Tuple[int, int]
+    in_chans: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        ph, pw = self.patch_size
+        sf, st = self.stride
+        fan_in = ph * pw * self.in_chans
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (ph, pw, self.in_chans, self.embed_dim)
+        )
+        bias = self.param("bias", torch_conv_bias_init(fan_in), (self.embed_dim,))
+        b, f, t, c = x.shape
+        fg = (f - ph) // sf + 1
+        tg = (t - pw) // st + 1
+        # Frame decomposition: pad so both spatial axes tile exactly by the
+        # stride, then [B, Fp, Tp, C] -> [B, Fp/sf, sf, Tp/st, st, C] is a
+        # FREE reshape (row-major split, no data movement). A window tap
+        # (u, v) lives in frame (p + u//sf, q + v//st) at in-frame offset
+        # (u%sf, v%st), so the overlapping conv becomes a short sum (4
+        # terms at the flagship 16x16/stride-10 geometry) of dot_generals,
+        # each contracting a contiguous tap block of the HWIO kernel with a
+        # frame-offset slice — no transposes, no strided copies, and the
+        # whole projection lands on the MXU. (A 256-strided-slice im2col
+        # variant was A/B'd first: 38.8 vs 32.4 ms full step — the C=1
+        # minor-dim slices are lane-hostile; see PARITY.md dead ends.)
+        na = (ph - 1) // sf  # extra F-frames a window reaches into
+        nb = (pw - 1) // st
+        fp = (fg + na) * sf
+        tp = (tg + nb) * st
+        xc = x.astype(self.dtype)
+        if fp > f or tp > t:
+            xc = jnp.pad(xc, ((0, 0), (0, fp - f), (0, tp - t), (0, 0)))
+        else:
+            xc = xc[:, :fp, :tp, :]
+        frames = xc.reshape(b, fp // sf, sf, tp // st, st, c)
+        out = None
+        for a in range(na + 1):
+            ra = min(sf, ph - a * sf)
+            for bb in range(nb + 1):
+                rb = min(st, pw - bb * st)
+                lhs = frames[:, a : a + fg, :ra, bb : bb + tg, :rb, :]
+                rhs = kernel[a * sf : a * sf + ra, bb * st : bb * st + rb].astype(
+                    self.dtype
+                )  # [ra, rb, C, E]
+                term = jax.lax.dot_general(
+                    lhs,
+                    rhs,
+                    dimension_numbers=(((2, 4, 5), (0, 1, 2)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [B, Fg, Tg, E]
+                out = term if out is None else out + term
+        return (out + bias).astype(self.dtype)
 
 
 class PaSST(nn.Module):
@@ -372,7 +455,8 @@ class PaSST(nn.Module):
         # [B, C, F, T] -> NHWC [B, F, T, C] (TPU-native conv layout).
         x = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
         x = PatchEmbed(
-            d, cfg.patch_size, cfg.stride, cfg.in_chans, dtype=dtype, name="patch_embed"
+            d, cfg.patch_size, cfg.stride, cfg.in_chans, dtype=dtype,
+            unfold=(cfg.patch_embed_impl == "unfold"), name="patch_embed"
         )(x)  # [B, F', T', D]
         trace("patch_embed", x)
         _, f_cur, t_cur, _ = x.shape

@@ -19,16 +19,18 @@ from passt_tpu.train.steps import create_train_state, make_optimizer, make_train
 B, STEPS = 12, 20
 
 COMBOS = {
-    "base": ("xla", None),
-    "attn": ("fused", None),
-    "opt": ("xla", "bfloat16_sr"),
-    "both": ("fused", "bfloat16_sr"),
+    "base": ("xla", None, "conv"),
+    "attn": ("fused", None, "conv"),
+    "opt": ("xla", "bfloat16_sr", "conv"),
+    "both": ("fused", "bfloat16_sr", "conv"),
+    "unfold": ("fused", "bfloat16_sr", "unfold"),  # + unfold patch embed
 }
 
 
-def run(name, attn_impl, moments):
+def run(name, attn_impl, moments, patch_embed="unfold"):
     cfg = PaSSTConfig(
-        dtype="bfloat16", s_patchout_t=40, s_patchout_f=4, attn_impl=attn_impl
+        dtype="bfloat16", s_patchout_t=40, s_patchout_f=4, attn_impl=attn_impl,
+        patch_embed_impl=patch_embed,
     )
     mel_cfg = MelConfig(fmin_aug_range=10, fmax_aug_range=2000)
     tx = make_optimizer(lr=2e-5, steps_per_epoch=1000, moments_dtype=moments)
