@@ -28,9 +28,10 @@ quality-validated at full size (PARITY.md; the 50-tone 86M demo reaches
 mAP 0.893 under bf16+SR vs 0.894 with fp32 moments) — and the
 frame-decomposed patch embed (patch_embed_impl=unfold; the overlapping
 stride-10 conv lowers at ~3% MXU efficiency, the reformulation is
-checkpoint-compatible and exact). Expected ~31.4 ms/step = ~382 specs/s
-= 54% of the chip's 188 TFLOP/s delivered matmul peak sustained through
-the whole step. PARITY.md "Performance notes"
+checkpoint-compatible and exact) and the saved-derivative tanh-GELU
+backward (gelu_saved_deriv; grads == AD). Expected ~31.1 ms/step = ~386
+specs/s = 55% of the chip's 188 TFLOP/s delivered matmul peak sustained
+through the whole step. PARITY.md "Performance notes"
 carries the per-stage budget, the MFU derivation, and the
 kernel-by-kernel table bounding each remaining non-matmul millisecond
 with a MEASURED custom-kernel attempt (fused attention, fused mel,

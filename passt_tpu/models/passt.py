@@ -45,6 +45,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from passt_tpu.ops.activations import tanh_gelu
+
 Dtype = jnp.dtype
 
 
@@ -82,6 +84,10 @@ class PaSSTConfig:
     # rounding itself (1.6e-2 vs fp32-erf) but the exact-erf VPU
     # transcendentals cost 22% of the whole fwd+bwd step (7.8 ms of
     # 35.3 ms at B=12, measured; see PARITY.md "Performance notes").
+    gelu_saved_deriv: bool = True  # tanh-GELU only: save gelu'(x) in fwd
+    # (shares the fwd tanh — a few FMAs under the matmul epilogue, same
+    # residual bytes) so backward is one multiply with zero
+    # transcendentals; False restores standard AD (ops/activations.py)
     remat: bool = False  # rematerialize blocks in backward (HBM-traffic relief)
     softmax_fp32: bool = True  # fp32 attention softmax (False: bf16, faster)
     patch_embed_impl: str = "unfold"  # "unfold": frame-decomposed MXU
@@ -201,11 +207,19 @@ class Mlp(nn.Module):
     gelu_approximate: bool = False  # torch nn.GELU is the exact erf form;
     # tanh is bit-equivalent at bf16 precision and much cheaper (see
     # PaSSTConfig.gelu)
+    gelu_saved_deriv: bool = True  # tanh path only: custom-VJP GELU that
+    # saves the derivative in fwd (shares the fwd tanh, hides under the
+    # matmul epilogue) so the backward is one multiply with zero
+    # transcendentals (ops/activations.py; AD recomputes tanh' at
+    # 1.87 ms/step, PARITY.md)
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Dense(self.hidden, dtype=self.dtype, kernel_init=trunc_normal_init(), name="fc1")(x)
-        x = nn.gelu(x, approximate=self.gelu_approximate)
+        if self.gelu_approximate and self.gelu_saved_deriv:
+            x = tanh_gelu(x)
+        else:
+            x = nn.gelu(x, approximate=self.gelu_approximate)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         x = nn.Dense(self.out, dtype=self.dtype, kernel_init=trunc_normal_init(), name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -298,6 +312,7 @@ class Block(nn.Module):
     softmax_fp32: bool = True
     plus1: bool = False
     gelu_approximate: bool = False
+    gelu_saved_deriv: bool = True
     fused_attn: bool = False
 
     @nn.compact
@@ -317,7 +332,8 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         h = Mlp(
             int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype,
-            gelu_approximate=self.gelu_approximate, name="mlp",
+            gelu_approximate=self.gelu_approximate,
+            gelu_saved_deriv=self.gelu_saved_deriv, name="mlp",
         )(h.astype(self.dtype), train)
         return x + maybe_drop_path(h)
 
@@ -529,6 +545,7 @@ class PaSST(nn.Module):
                 cfg.drop_rate, cfg.attn_drop_rate, float(dpr[i]),
                 dtype=dtype, softmax_fp32=cfg.softmax_fp32,
                 plus1=cfg.plus1_attn, gelu_approximate=cfg.gelu_approximate,
+                gelu_saved_deriv=cfg.gelu_saved_deriv,
                 fused_attn=cfg.use_fused_attn, name=f"blocks_{i}",
             )(x, train)
 

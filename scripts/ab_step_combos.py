@@ -19,18 +19,19 @@ from passt_tpu.train.steps import create_train_state, make_optimizer, make_train
 B, STEPS = 12, 20
 
 COMBOS = {
-    "base": ("xla", None, "conv"),
-    "attn": ("fused", None, "conv"),
-    "opt": ("xla", "bfloat16_sr", "conv"),
-    "both": ("fused", "bfloat16_sr", "conv"),
-    "unfold": ("fused", "bfloat16_sr", "unfold"),  # + unfold patch embed
+    "base": ("xla", None, "conv", False),
+    "attn": ("fused", None, "conv", False),
+    "opt": ("xla", "bfloat16_sr", "conv", False),
+    "both": ("fused", "bfloat16_sr", "conv", False),
+    "unfold": ("fused", "bfloat16_sr", "unfold", False),  # + frame patch embed
+    "gelu": ("fused", "bfloat16_sr", "unfold", True),  # + saved-deriv GELU bwd
 }
 
 
-def run(name, attn_impl, moments, patch_embed="unfold"):
+def run(name, attn_impl, moments, patch_embed="unfold", gelu_sd=True):
     cfg = PaSSTConfig(
         dtype="bfloat16", s_patchout_t=40, s_patchout_f=4, attn_impl=attn_impl,
-        patch_embed_impl=patch_embed,
+        patch_embed_impl=patch_embed, gelu_saved_deriv=gelu_sd,
     )
     mel_cfg = MelConfig(fmin_aug_range=10, fmax_aug_range=2000)
     tx = make_optimizer(lr=2e-5, steps_per_epoch=1000, moments_dtype=moments)
