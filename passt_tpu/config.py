@@ -42,6 +42,9 @@ class ModelSelect:
     # PLUS1_TRICK, passt.py:295 — a module global hardcoded False there)
     attn_impl: str = "auto"  # attention kernel: "fused" (Pallas) | "xla" |
     # "auto" (fused on TPU; see PaSSTConfig.attn_impl)
+    ln_impl: str = "auto"  # block LayerNorms: "xla" | "fused" (Pallas
+    # one-pass backward — measured SLOWER in-graph, explicit opt-in
+    # only) | "auto" (= xla; see PaSSTConfig.ln_impl)
     patch_embed_impl: str = "unfold"  # "unfold" (strided-slice im2col + one
     # MXU matmul) | "conv" (XLA conv; ~3% MXU efficiency for the
     # overlapping stride-10 16x16 kernel — see PaSSTConfig.patch_embed_impl)
@@ -164,6 +167,7 @@ class ExperimentConfig:
             gelu=m.gelu,
             plus1_attn=m.plus1_attn,
             attn_impl=m.attn_impl,
+            ln_impl=m.ln_impl,
             patch_embed_impl=m.patch_embed_impl,
         )
 

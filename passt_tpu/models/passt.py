@@ -46,8 +46,32 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from passt_tpu.ops.activations import tanh_gelu
+from passt_tpu.ops.pallas.layernorm import layer_norm as fused_layer_norm
 
 Dtype = jnp.dtype
+
+
+class FusedLayerNorm(nn.Module):
+    """``nn.LayerNorm(epsilon, dtype=float32)``-compatible module whose
+    backward runs as one Pallas pass (ops/pallas/layernorm.py). Identical
+    parameters (fp32 ``scale``/``bias`` under the same scope) — checkpoints
+    are interchangeable with the XLA module."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        return fused_layer_norm(x, scale, bias, eps=self.epsilon)
+
+
+def _ln(fused: bool, name: str, epsilon: float = 1e-6) -> nn.Module:
+    """Pick the LayerNorm implementation (same params/semantics either way)."""
+    if fused:
+        return FusedLayerNorm(epsilon=epsilon, name=name)
+    return nn.LayerNorm(epsilon=epsilon, dtype=jnp.float32, name=name)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +112,11 @@ class PaSSTConfig:
     # (shares the fwd tanh — a few FMAs under the matmul epilogue, same
     # residual bytes) so backward is one multiply with zero
     # transcendentals; False restores standard AD (ops/activations.py)
+    ln_impl: str = "auto"  # block LayerNorms: "xla" (nn.LayerNorm) or
+    # "fused" (Pallas one-pass backward, ops/pallas/layernorm.py — a
+    # measured DEAD END in the train graph: standalone LN-bwd is 5x off
+    # its HBM floor, but the custom_vjp boundary costs more fusion than
+    # the kernel reclaims, full step 31.54 -> 33.62 ms); "auto" = xla
     remat: bool = False  # rematerialize blocks in backward (HBM-traffic relief)
     softmax_fp32: bool = True  # fp32 attention softmax (False: bf16, faster)
     patch_embed_impl: str = "unfold"  # "unfold": frame-decomposed MXU
@@ -133,6 +162,20 @@ class PaSSTConfig:
                 f"attn_impl must be 'auto'|'fused'|'xla', got {self.attn_impl!r}"
             )
         return self.attn_impl == "fused"
+
+    @property
+    def use_fused_ln(self) -> bool:
+        """Resolve ``ln_impl``. "auto" is XLA: unlike attention, the
+        Pallas LN backward LOSES in-graph (see ``ln_impl`` comment) —
+        "fused" is an explicit opt-in kept for the measured bounds
+        record and for exercising the kernel under GSPMD."""
+        if self.ln_impl == "auto":
+            return False
+        if self.ln_impl not in ("fused", "xla"):
+            raise ValueError(
+                f"ln_impl must be 'auto'|'fused'|'xla', got {self.ln_impl!r}"
+            )
+        return self.ln_impl == "fused"
 
     @property
     def gelu_approximate(self) -> bool:
@@ -314,6 +357,7 @@ class Block(nn.Module):
     gelu_approximate: bool = False
     gelu_saved_deriv: bool = True
     fused_attn: bool = False
+    fused_ln: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -322,14 +366,14 @@ class Block(nn.Module):
                 return drop_path(y, self.drop_path_rate, self.make_rng("droppath"))
             return y
 
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = _ln(self.fused_ln, "norm1")(x)
         h = Attention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
             dtype=self.dtype, softmax_fp32=self.softmax_fp32, plus1=self.plus1,
             fused=self.fused_attn, name="attn",
         )(h.astype(self.dtype), train)
         x = x + maybe_drop_path(h)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = _ln(self.fused_ln, "norm2")(x)
         h = Mlp(
             int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype,
             gelu_approximate=self.gelu_approximate,
@@ -414,11 +458,15 @@ class _UnfoldProj(nn.Module):
         nb = (pw - 1) // st
         fp = (fg + na) * sf
         tp = (tg + nb) * st
-        xc = x.astype(self.dtype)
+        # Per-axis: crop when the tiled extent is short of the input (the
+        # tail rows past the last window are unused), pad when it overruns
+        # (a window's tail taps land in an extra all-zero frame) — the two
+        # can mix (e.g. 64x48 @ 16/10: fp=60<64 while tp=50>48).
+        xc = x.astype(self.dtype)[:, : min(fp, f), : min(tp, t), :]
         if fp > f or tp > t:
-            xc = jnp.pad(xc, ((0, 0), (0, fp - f), (0, tp - t), (0, 0)))
-        else:
-            xc = xc[:, :fp, :tp, :]
+            xc = jnp.pad(
+                xc, ((0, 0), (0, max(0, fp - f)), (0, max(0, tp - t)), (0, 0))
+            )
         frames = xc.reshape(b, fp // sf, sf, tp // st, st, c)
         out = None
         for a in range(na + 1):
@@ -546,10 +594,11 @@ class PaSST(nn.Module):
                 dtype=dtype, softmax_fp32=cfg.softmax_fp32,
                 plus1=cfg.plus1_attn, gelu_approximate=cfg.gelu_approximate,
                 gelu_saved_deriv=cfg.gelu_saved_deriv,
-                fused_attn=cfg.use_fused_attn, name=f"blocks_{i}",
+                fused_attn=cfg.use_fused_attn, fused_ln=cfg.use_fused_ln,
+                name=f"blocks_{i}",
             )(x, train)
 
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        x = _ln(cfg.use_fused_ln, "norm")(x)
 
         if cfg.distilled:
             features = (x[:, 0] + x[:, 1]) / 2.0  # (passt.py:582-583)

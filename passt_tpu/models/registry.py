@@ -135,6 +135,7 @@ def get_model_config(
     gelu: str = "auto",
     plus1_attn: bool = False,
     attn_impl: str = "auto",
+    ln_impl: str = "auto",
     patch_embed_impl: str = "unfold",
 ) -> PaSSTConfig:
     """Resolve an arch name + overrides to a :class:`PaSSTConfig`
@@ -164,6 +165,7 @@ def get_model_config(
         gelu=gelu,
         plus1_attn=plus1_attn,
         attn_impl=attn_impl,
+        ln_impl=ln_impl,
         patch_embed_impl=patch_embed_impl,
     )
 

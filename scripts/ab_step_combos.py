@@ -5,8 +5,11 @@ Usage: python -u scripts/ab_step_combos.py [combo ...]
   combos: base attn opt both   (default: all four)
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -19,19 +22,20 @@ from passt_tpu.train.steps import create_train_state, make_optimizer, make_train
 B, STEPS = 12, 20
 
 COMBOS = {
-    "base": ("xla", None, "conv", False),
-    "attn": ("fused", None, "conv", False),
-    "opt": ("xla", "bfloat16_sr", "conv", False),
-    "both": ("fused", "bfloat16_sr", "conv", False),
-    "unfold": ("fused", "bfloat16_sr", "unfold", False),  # + frame patch embed
-    "gelu": ("fused", "bfloat16_sr", "unfold", True),  # + saved-deriv GELU bwd
+    "base": ("xla", None, "conv", False, "xla"),
+    "attn": ("fused", None, "conv", False, "xla"),
+    "opt": ("xla", "bfloat16_sr", "conv", False, "xla"),
+    "both": ("fused", "bfloat16_sr", "conv", False, "xla"),
+    "unfold": ("fused", "bfloat16_sr", "unfold", False, "xla"),  # + frame patch embed
+    "gelu": ("fused", "bfloat16_sr", "unfold", True, "xla"),  # + saved-deriv GELU bwd
+    "ln": ("fused", "bfloat16_sr", "unfold", True, "fused"),  # + one-pass LN bwd
 }
 
 
-def run(name, attn_impl, moments, patch_embed="unfold", gelu_sd=True):
+def run(name, attn_impl, moments, patch_embed="unfold", gelu_sd=True, ln_impl="xla"):
     cfg = PaSSTConfig(
         dtype="bfloat16", s_patchout_t=40, s_patchout_f=4, attn_impl=attn_impl,
-        patch_embed_impl=patch_embed, gelu_saved_deriv=gelu_sd,
+        patch_embed_impl=patch_embed, gelu_saved_deriv=gelu_sd, ln_impl=ln_impl,
     )
     mel_cfg = MelConfig(fmin_aug_range=10, fmax_aug_range=2000)
     tx = make_optimizer(lr=2e-5, steps_per_epoch=1000, moments_dtype=moments)

@@ -168,6 +168,7 @@ def test_dp_tp_step_with_fused_kernels(rng_np):
     cfg = PaSSTConfig(
         input_fdim=32, input_tdim=50, embed_dim=64, depth=2, num_heads=4,
         num_classes=8, s_patchout_t=1, u_patchout=2, attn_impl="fused",
+        ln_impl="fused",
     )
     mcfg = MelConfig(n_mels=32, freqm=4, timem=8)
     tx = make_optimizer(lr=1e-3, steps_per_epoch=5, moments_dtype="bfloat16_sr")

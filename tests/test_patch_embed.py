@@ -23,6 +23,23 @@ def test_unfold_matches_conv_patch_level():
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_u), atol=5e-6)
 
 
+def test_unfold_matches_conv_mixed_crop_pad_axes():
+    """Geometry where one axis needs cropping and the other padding
+    (64x48 @ 16/10: fp=60<64, tp=50>48) — regression for the negative
+    jnp.pad width this produced when both axes shared one branch."""
+    for f, t in ((64, 48), (48, 64), (48, 48), (64, 64)):
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, f, t, 1))
+        conv = PatchEmbed(32, (16, 16), (10, 10), 1, dtype=jnp.float32, unfold=False)
+        p = conv.init(jax.random.PRNGKey(5), x)
+        out_c = conv.apply(p, x)
+        unf = PatchEmbed(32, (16, 16), (10, 10), 1, dtype=jnp.float32, unfold=True)
+        out_u = unf.apply(p, x)
+        assert out_c.shape == out_u.shape, (f, t)
+        np.testing.assert_allclose(
+            np.asarray(out_c), np.asarray(out_u), atol=5e-6, err_msg=f"{(f, t)}"
+        )
+
+
 def test_unfold_param_tree_identical_to_conv():
     """Checkpoints (and the torch converter, which targets the conv layout)
     load into either implementation unchanged."""
