@@ -41,10 +41,18 @@ def main():
         ls = jnp.clip(logits, 0) - logits * y + jnp.log1p(jnp.exp(-jnp.abs(logits)))
         return ls.mean()
 
+    # Weight the summed outputs by a random array so the backward is a real
+    # scatter/matmul of data (a plain sum's gradient is a constant XLA can
+    # fold away, which under-measures the grad entries).
+    wt = jnp.asarray(rng.standard_normal((B, (Fg - 4) * (Tg - 40), D)), jnp.bfloat16)
+
+    def patchout_loss(x, f, t):
+        return jnp.sum((patchout(x, f, t) * wt).astype(jnp.float32))
+
     entries = [
         ("posembed+patchout fwd", lambda *a: gsum(patchout(*a)), (x, f_emb, t_emb), 1),
         ("posembed+patchout grad", lambda *a: gsum(jax.grad(
-            lambda x, f, t: gsum(patchout(x, f, t)), argnums=(0, 1, 2))(*a)), (x, f_emb, t_emb), 1),
+            patchout_loss, argnums=(0, 1, 2))(*a)), (x, f_emb, t_emb), 1),
         ("mixup+head+BCE fwd", lambda *a: head_loss(*a), (feats, w_head), 1),
         ("mixup+head+BCE grad", lambda *a: gsum(jax.grad(head_loss, argnums=(0, 1))(*a)), (feats, w_head), 1),
     ]
