@@ -45,9 +45,10 @@ class ModelSelect:
     ln_impl: str = "auto"  # block LayerNorms: "xla" | "fused" (Pallas
     # one-pass backward — measured SLOWER in-graph, explicit opt-in
     # only) | "auto" (= xla; see PaSSTConfig.ln_impl)
-    patch_embed_impl: str = "unfold"  # "unfold" (strided-slice im2col + one
-    # MXU matmul) | "conv" (XLA conv; ~3% MXU efficiency for the
-    # overlapping stride-10 16x16 kernel — see PaSSTConfig.patch_embed_impl)
+    patch_embed_impl: str = "unfold"  # "unfold" (frame-decomposed: free
+    # stride-granular reshape + per-tap-block dot_generals on the MXU)
+    # | "conv" (XLA conv; ~3% MXU efficiency for the overlapping
+    # stride-10 16x16 kernel — see PaSSTConfig.patch_embed_impl)
     # ensemble evaluation (reference ensemble named configs,
     # config_updates.py:136-222): name into registry.ENSEMBLES plus a
     # directory of ported checkpoints named <arch>.npz

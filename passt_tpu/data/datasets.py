@@ -139,9 +139,13 @@ def load_ir_bank(
 ) -> List[np.ndarray]:
     """Load an impulse-response .wav bank: every *.wav under ``ir_dir``
     (recursive, sorted — the reference's ``rglob`` + ``sorted`` order),
-    resampled to ``sample_rate`` (the reference loads via
-    ``librosa.load(sr=32000)``). ``cut_irs_offset`` keeps the reference's
-    10-IR window starting at that offset (audioset/dataset.py:84-100)."""
+    resampled to ``sample_rate``. ``sample_rate`` must be the CONTAINER
+    SOURCE rate, not the pipeline target rate: ``ir_augment`` convolves
+    before ``stride_resample`` (mirroring the reference, whose
+    ``librosa.load(sr=32000)`` equals its containers' rate,
+    audioset/dataset.py:100,202-216). ``cut_irs_offset`` keeps the
+    reference's 10-IR window starting at that offset
+    (audioset/dataset.py:84-100)."""
     import os
     import pathlib
 

@@ -166,9 +166,10 @@ class NativeBatchBuilder:
                     f"(first error code {int(lens[bad[0]])})"
                 )
             if (rates != ds.sample_rate).any():
+                bad_r = np.nonzero(rates != ds.sample_rate)[0]
                 raise ValueError(
-                    f"mp3 native rate {int(rates[0])} != dataset sample_rate "
-                    f"{ds.sample_rate}"
+                    f"mp3 native rate {int(rates[bad_r[0]])} (batch item "
+                    f"{int(bad_r[0])}) != dataset sample_rate {ds.sample_rate}"
                 )
             return wave
         # zero-copy reinterpret of the vlen-uint8 rows (tobytes() would copy

@@ -49,9 +49,18 @@ def build_base_train_dataset(cfg: ExperimentConfig, path: str, seed: int):
     d = cfg.data
     bank = None
     if d.ir_augment and d.ir_path:
+        import h5py
+
         from passt_tpu.data.datasets import load_ir_bank
 
-        bank = load_ir_bank(d.ir_path, d.sample_rate, d.cut_irs_offset)
+        # IR convolution runs BEFORE the stride resample, i.e. at the
+        # container's SOURCE rate — so the bank must be loaded at that rate,
+        # not d.sample_rate (the reference's librosa.load(sr=32000) == its
+        # containers' rate, audioset/dataset.py:100,202-216). Loading at the
+        # target rate would time-stretch every IR on 16/8 kHz presets.
+        with h5py.File(path, "r") as f:
+            source_rate = int(f.attrs.get("sample_rate", 32000))
+        bank = load_ir_bank(d.ir_path, source_rate, d.cut_irs_offset)
     return HDF5AudioDataset(
         path,
         sample_rate=d.sample_rate,
@@ -172,7 +181,7 @@ def build_eval_loader(cfg: ExperimentConfig, which: Optional[str] = None, batch_
             lengths = ds.item_lengths()
         except ValueError as e:
             print(f"[eval] exact eval falls back to batch_size=1 ({e})")
-            bs, sampler = 1, None
+            bs = 1
         else:
             from passt_tpu.data.sampler import LengthGroupedBatchSampler
 

@@ -304,6 +304,10 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, Dh]
 
+        # backward=train picks the larger forward-only ceiling at eval
+        # lengths; if someone differentiates through an eval-mode apply
+        # anyway (saliency), the kernel's own backward falls back to an
+        # XLA composition past its VMEM bound (attention.py::_fused_attn_bwd).
         use_fused = (
             self.fused
             and not (train and self.attn_drop > 0.0)

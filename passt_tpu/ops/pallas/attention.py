@@ -187,6 +187,30 @@ def _fused_attn_fwd(q, k, v, scale, plus1, interpret):
 def _fused_attn_bwd(scale, plus1, interpret, res, do):
     q, k, v = res
     (b, h, n, d), cost, params = _common(q, 8)
+    if not kernel_supports(n, d, backward=True):
+        # Geometry past the backward kernel's VMEM ceiling — reachable via
+        # jax.grad through an eval-mode apply (the module gates kernel
+        # selection on backward=train, so e.g. saliency maps at eval
+        # N=1190 take the fused FORWARD): recompute the same math as plain
+        # XLA ops in fp32. Slower than the kernel, never wrong.
+        qf, kf, vf, dof = (x.astype(jnp.float32) for x in (q, k, v, do))
+        s = jnp.einsum("bhnd,bhmd->bhnm", qf, kf) * jnp.float32(scale)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        if plus1:
+            m = jnp.maximum(m, 0.0)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if plus1:
+            l = l + jnp.exp(-m)
+        pn = p / l
+        dp = jnp.einsum("bhnd,bhmd->bhnm", dof, vf)
+        di = jnp.sum(pn * dp, axis=-1, keepdims=True)
+        ds = pn * (dp - di) * jnp.float32(scale)
+        return (
+            jnp.einsum("bhnm,bhmd->bhnd", ds, kf).astype(q.dtype),
+            jnp.einsum("bhnm,bhnd->bhmd", ds, qf).astype(k.dtype),
+            jnp.einsum("bhnm,bhnd->bhmd", pn, dof).astype(v.dtype),
+        )
     kernel = functools.partial(
         _bwd_kernel, scale=scale, plus1=plus1, precision=_precision_for(q.dtype)
     )

@@ -98,6 +98,31 @@ def _gather_across_processes(out, target, loss):
         multihost_utils.process_allgather(np.array([len(out)], np.int64))
     ).reshape(-1)
     m = int(counts.max())
+    if m == 0:
+        raise ValueError("no eval batches on any process")
+
+    # A rank may hold ZERO eval examples (tiny eval set round-robined over
+    # more hosts than batches). It cannot know the trailing shapes locally,
+    # yet it MUST still enter every collective or the other ranks deadlock —
+    # so gather the trailing shapes and fabricate zero-row locals. All
+    # arrays ride the gather as float32 (labels/ids are small integers, the
+    # cast is exact).
+    def shape_desc(a):
+        return (list(a.shape[1:]) + [-1, -1])[:2] if len(a) else [-2, -2]
+
+    descs = np.asarray(
+        multihost_utils.process_allgather(
+            np.array(shape_desc(out) + shape_desc(target) + shape_desc(loss), np.int64)
+        )
+    ).reshape(len(counts), 3, 2)
+    ref = descs[int(np.argmax(counts > 0))]
+
+    def norm(a, r):
+        if len(a):
+            return np.asarray(a, np.float32)
+        return np.zeros((0,) + tuple(int(x) for x in r if x >= 0), np.float32)
+
+    out, target, loss = (norm(a, r) for a, r in zip((out, target, loss), ref))
 
     def pad(a):
         return np.pad(a, ((0, m - len(a)),) + ((0, 0),) * (a.ndim - 1))
@@ -154,9 +179,13 @@ def evaluate(
         outs.append(np.asarray(res["out"])[:n])
         targets.append(np.asarray(batch["target"]))
         losses.append(np.asarray(res["loss_per_example"])[:n])
-    out = np.concatenate(outs)
-    target = np.concatenate(targets)
-    loss = np.concatenate(losses)
+    # This rank may have gotten zero batches (rank-sliced tiny eval set);
+    # zero-row placeholders keep it alive into the gather, which recovers
+    # the real trailing shapes from the non-empty ranks.
+    cat = lambda parts: np.concatenate(parts) if parts else np.zeros((0,), np.float32)
+    out = cat(outs)
+    target = cat(targets)
+    loss = cat(losses)
     out, target, loss = _gather_across_processes(out, target, loss)
     metrics: Dict[str, float] = {
         "val_loss": float(np.mean(loss)),

@@ -19,7 +19,8 @@ from passt_tpu.models.passt import PaSSTConfig
 from passt_tpu.ops.frontend import MelConfig
 from passt_tpu.train.steps import create_train_state, make_optimizer, make_train_step
 
-B, STEPS = 12, 20
+B = int(os.environ.get("AB_BATCH", "12"))  # specs/s = B/ms normalizes across sizes
+STEPS = 20
 
 COMBOS = {
     "base": ("xla", None, "conv", False, "xla"),

@@ -40,6 +40,17 @@ def main():
     loss = rng.standard_normal(n).astype(np.float32)
     g_out, g_target, g_loss = _gather_across_processes(out, target, loss)
 
+    # --- gather: one rank holds ZERO eval examples (tiny eval set
+    # round-robined over more hosts than batches) — evaluate() fabricates
+    # (0,)-shaped float32 placeholders; the gather must recover the
+    # trailing shapes from the non-empty rank and must not deadlock.
+    if pid == 0:
+        e_out, e_target, e_loss = out, target, loss
+    else:
+        z = np.zeros((0,), np.float32)
+        e_out, e_target, e_loss = z, z, z
+    ge_out, ge_target, ge_loss = _gather_across_processes(e_out, e_target, e_loss)
+
     # --- sampler: auto process-topology sharding (what _resolve_rank wires)
     weights = np.linspace(0.5, 2.0, 40)
     sampler = WeightedEpochSampler(
@@ -51,6 +62,7 @@ def main():
         os.path.join(outdir, f"rank{pid}.npz"),
         out=out, target=target, loss=loss,
         g_out=g_out, g_target=g_target, g_loss=g_loss,
+        ge_out=ge_out, ge_target=ge_target, ge_loss=ge_loss,
         indices=np.asarray(list(sampler), np.int64),
     )
     print(f"rank {pid} done", flush=True)

@@ -541,12 +541,19 @@ def test_native_builder_two_containers(tmp_path, synth_hdf5, rng_np):
     b2 = NativeBatchBuilder([ds1, ds2], wavmix=True, seed=11, num_workers=0)
     from passt_tpu.data.datasets import set_epoch_recursive
 
-    set_epoch_recursive(mixed, 2)
-    b2.set_epoch(2)
     idxs = list(range(14, 26))  # spans the container boundary (20)
-    plans = [mixed.mix_plan(i) for i in idxs]
+    # find an epoch whose plans include a CROSS-container partner, so the
+    # native-vs-numpy comparison below actually exercises the routing of a
+    # partner owned by the other container
+    for epoch in range(20):
+        set_epoch_recursive(mixed, epoch)
+        plans = [mixed.mix_plan(i) for i in idxs]
+        if any(p[0] and p[1] >= 20 for p in plans):
+            break
+    else:
+        raise AssertionError("no cross-container wavmix partner in 20 epochs")
+    b2.set_epoch(epoch)
     assert any(p[0] for p in plans)
-    assert any(p[0] and p[1] >= 20 for p in plans) or True  # partner may cross
     nat = b2(idxs)
     ref = default_collate([mixed[i] for i in idxs])
     np.testing.assert_allclose(nat["target"], ref["target"], atol=1e-6)
@@ -660,6 +667,15 @@ def test_ir_augment_bank_config_activated(tmp_path, synth_hdf5):
     ds_ir.reseed(99)
     after = [ds_ir[i][0] for i in range(6)]
     assert any(not np.array_equal(a, b) for a, b in zip(before, after))
+
+    # the bank loads at the CONTAINER source rate, not the pipeline target
+    # rate: convolution happens BEFORE stride_resample, so a 16 kHz preset
+    # on a 32 kHz container must not time-stretch the IRs
+    cfg16 = dataclasses.replace(
+        cfg, data=dataclasses.replace(data, sample_rate=16000)
+    )
+    ds16 = build_base_train_dataset(cfg16, synth_hdf5, seed=3)
+    np.testing.assert_array_equal(ds16.impulse_responses[0], bank[0])
 
     # the IR chain keeps the numpy path (native plane rejects it loudly)
     from passt_tpu.data import native

@@ -65,6 +65,13 @@ def test_two_process_gather_and_sampler(tmp_path):
             r["g_loss"], np.concatenate([r0["loss"], r1["loss"]])
         )
 
+    # zero-example rank: gathered result is exactly the non-empty rank's
+    # arrays, identical on both ranks (and nobody deadlocked/crashed)
+    for r in (r0, r1):
+        np.testing.assert_array_equal(r["ge_out"], r0["out"])
+        np.testing.assert_array_equal(r["ge_target"], r0["target"])
+        np.testing.assert_array_equal(r["ge_loss"], r0["loss"])
+
     # metrics over the gathered set == single-process metrics
     from passt_tpu.train.metrics import mean_average_precision
 

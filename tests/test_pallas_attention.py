@@ -80,6 +80,34 @@ def test_gradients_match_xla(n, plus1):
         )
 
 
+def test_gradients_past_bwd_vmem_cap_fall_back_to_xla():
+    """jax.grad through an eval-length forward (N > _MAX_N_BWD, reachable
+    via saliency/attribution on an eval-mode apply): the custom_vjp's
+    backward must take its XLA-composition fallback instead of launching
+    the Pallas backward past its VMEM ceiling — and match AD of the
+    reference composition."""
+    from passt_tpu.ops.pallas.attention import _MAX_N_BWD
+
+    n = _MAX_N_BWD + 6
+    assert kernel_supports(n, 8, backward=False)
+    assert not kernel_supports(n, 8, backward=True)
+    q, k, v = make_qkv(jax.random.PRNGKey(4), 1, n, 1, 8, jnp.float32)
+    scale = 8 ** -0.5
+    w = jax.random.normal(jax.random.PRNGKey(5), (1, n, 1, 8), jnp.float32)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) * w)
+
+    fused = lambda q, k, v: fused_attention(q, k, v, scale=scale, interpret=True)
+    ref = lambda q, k, v: xla_attention(q, k, v, scale)
+    got = jax.grad(loss(fused), argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss(ref), argnums=(0, 1, 2))(q, k, v)
+    for g, wnt, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wnt), atol=1e-5, rtol=1e-4, err_msg=f"d{name}"
+        )
+
+
 def test_kernel_supports_gating():
     assert kernel_supports(474, 64, backward=True)  # flagship train
     assert kernel_supports(1190, 64, backward=False)  # flagship eval

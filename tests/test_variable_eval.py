@@ -191,12 +191,15 @@ def test_length_grouped_exact_eval_bitwise_vs_bs1(tmp_path, rng_np):
     batches = list(iter(loader))
     # length-pure batches: 5x8000 -> 2 chunks, 4x12000 -> 1, 3x16000 -> 1
     assert len(batches) == 4 == len(loader)
+    # length-pure, unpadded: (batch size, width) multiset is exactly the
+    # per-length chunking of the 5x8000 / 4x12000 / 3x16000 clip set
+    sizes = sorted((len(b["name"]), int(b["wave"].shape[1])) for b in batches)
+    assert sizes == [(1, 8000), (3, 16000), (4, 8000), (4, 12000)]
     by_name = {}
     for b in batches:
-        assert len({b["wave"].shape[1]}) == 1
         for j, name in enumerate(b["name"]):
-            w = b["wave"][j]
-            by_name[name] = w
+            by_name[name] = b["wave"][j]
+    assert len(by_name) == 12  # unique names — nothing overwritten
     # bitwise equal to the bs=1 exact protocol (no padding anywhere)
     cfg1 = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, eval_batch_size=1)
