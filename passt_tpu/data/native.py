@@ -1,7 +1,10 @@
 """ctypes bindings for the native host data plane (native/hostplane.cpp).
 
-Optional fast path: when ``native/libhostplane.so`` is built (``make -C
-native``), batch assembly (int16 decode + pad/crop + gain + roll),
+Optional fast path: when ``libhostplane.so`` is available — built into the
+package by ``pip install`` (setup.py ships it inside ``passt_tpu/``) or by
+``make -C native`` in a source checkout, overridable via the
+``PASST_TPU_HOSTPLANE`` env var — batch assembly (int16 decode + pad/crop
++ gain + roll),
 wave-mixup and packbits-target unpacking run in multithreaded C++; the
 pure-numpy implementations in ``passt_tpu.data.datasets`` remain the
 fallback and the behavioral reference.
@@ -19,9 +22,23 @@ _LIB: Optional[ctypes.CDLL] = None
 _SEARCHED = False
 
 
-def _lib_path() -> str:
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(here, "native", "libhostplane.so")
+def _lib_candidates():
+    """Search order: explicit override, the .so a wheel/editable install
+    ships inside the package (setup.py builds it there), then the
+    source-checkout Makefile output (native/libhostplane.so)."""
+    env = os.environ.get("PASST_TPU_HOSTPLANE")
+    if env:
+        yield env
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    yield os.path.join(pkg, "libhostplane.so")
+    yield os.path.join(os.path.dirname(pkg), "native", "libhostplane.so")
+
+
+def _lib_path() -> Optional[str]:
+    for p in _lib_candidates():
+        if os.path.exists(p):
+            return p
+    return None
 
 
 def load(n_threads: Optional[int] = None) -> Optional[ctypes.CDLL]:
@@ -31,7 +48,7 @@ def load(n_threads: Optional[int] = None) -> Optional[ctypes.CDLL]:
         return _LIB
     _SEARCHED = True
     path = _lib_path()
-    if not os.path.exists(path):
+    if path is None:
         return None
     lib = ctypes.CDLL(path)
     lib.hostplane_init.argtypes = [ctypes.c_int]

@@ -1,6 +1,7 @@
 """Native host-plane tests: build the C++ library and verify each op
 against the pure-numpy behavioral reference in passt_tpu.data.datasets."""
 
+import os
 import subprocess
 
 import numpy as np
@@ -104,3 +105,22 @@ def test_pool_more_shards_than_items():
             np.testing.assert_array_equal(out, expected)  # deterministic
     finally:
         native.load(n_threads=None)  # restore default pool width
+
+
+def test_lib_search_order(tmp_path, monkeypatch):
+    """Search order: PASST_TPU_HOSTPLANE env override, the wheel-shipped
+    passt_tpu/libhostplane.so (setup.py ctypes extension), then the
+    source-checkout native/libhostplane.so Makefile output."""
+    from passt_tpu.data import native
+
+    cands = list(native._lib_candidates())
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(native.__file__)))
+    assert cands[-2] == os.path.join(pkg_dir, "libhostplane.so")
+    assert cands[-1] == os.path.join(
+        os.path.dirname(pkg_dir), "native", "libhostplane.so"
+    )
+
+    override = tmp_path / "custom.so"
+    override.write_bytes(b"")
+    monkeypatch.setenv("PASST_TPU_HOSTPLANE", str(override))
+    assert native._lib_path() == str(override)  # env wins when present
