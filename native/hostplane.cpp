@@ -15,6 +15,7 @@
 
 #include <dlfcn.h>
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -403,7 +404,7 @@ void hostplane_init(int n_threads) {
   g_threads = n_threads;
 }
 
-int hostplane_version() { return 1; }
+int hostplane_version() { return 2; }  // v2: per-item-index RNG seeding ABI
 
 // Assemble a batch of fixed-length waveforms from int16 PCM items.
 //
@@ -417,14 +418,19 @@ int hostplane_version() { return 1; }
 //                (reference get_roll_func, audioset/dataset.py:315-329)
 //  random_crop : 1 -> random offset when src longer than clip (FSD50K
 //                fsd50k/dataset.py:70-79), 0 -> head truncate
-//  seed        : RNG seed; item i uses fold(seed, i) (reproducible)
+//  item_index  : [B] DATASET index of each item; slot b draws from
+//                fold(seed, item_index[b]). Seeding by dataset index (not
+//                batch position) keeps every item's augmentation stream
+//                independent across the epoch — position seeding would
+//                repeat the same B draw-triples for every batch.
+//  seed        : epoch RNG seed
 void hostplane_assemble_batch(const int16_t** srcs, const int64_t* src_lens,
                               float* out, int64_t batch, int64_t clip_samples,
                               int gain_db, int64_t roll_range, int random_crop,
-                              uint64_t seed) {
+                              const int64_t* item_index, uint64_t seed) {
   PoolLease lease;
   lease->ParallelFor(batch, [&](int64_t b) {
-    Rng rng(seed * 0x100000001B3ull + static_cast<uint64_t>(b));
+    Rng rng(seed * 0x100000001B3ull + static_cast<uint64_t>(item_index[b]));
     float gain;
     int64_t roll, off;
     DrawAugment(rng, gain_db, roll_range, random_crop, src_lens[b],
@@ -468,9 +474,14 @@ void hostplane_unpack_targets(const uint8_t* packed, float* out, int64_t batch,
   lease->ParallelFor(batch, [&](int64_t b) {
     const uint8_t* src = packed + b * packed_width;
     float* dst = out + b * classes;
-    for (int64_t c = 0; c < classes; ++c) {
+    // classes may exceed 8*packed_width (container packed for fewer
+    // classes): zero-fill past the row like np.unpackbits(count=...) —
+    // never read beyond the packed row.
+    const int64_t in_row = std::min<int64_t>(classes, packed_width * 8);
+    for (int64_t c = 0; c < in_row; ++c) {
       dst[c] = (src[c >> 3] >> (7 - (c & 7))) & 1 ? 1.0f : 0.0f;
     }
+    for (int64_t c = in_row; c < classes; ++c) dst[c] = 0.0f;
   });
 }
 
@@ -488,29 +499,17 @@ int64_t hostplane_decode_mp3(const uint8_t* data, int64_t size, float* out,
   return DecodeMp3One(data, size, out, out_cap, rate_out);
 }
 
-// Pool-parallel batch decode (the reference's 16 PyAV workers,
-// ex_audioset.py:42-48). outs[i]/caps[i] per item; lens[i] gets the full
-// decoded length (or negative error), rates[i] the native rate.
-void hostplane_decode_mp3_batch(const uint8_t** datas, const int64_t* sizes,
-                                float** outs, const int64_t* caps,
-                                int64_t* lens, int32_t* rates, int64_t batch) {
-  PoolLease lease;
-  lease->ParallelFor(batch, [&](int64_t b) {
-    lens[b] = DecodeMp3One(datas[b], sizes[b], outs[b], caps[b], &rates[b]);
-  });
-}
-
 // Fused mp3 batch assembly: per item decode + pad-or-crop + gain + roll in
 // one C++ pass (mp3-column twin of hostplane_assemble_batch; same RNG
-// streams, so (seed, index) determinism carries over). rates[b] gets the
-// native rate, lens[b] the full decoded length (negative = decode error;
-// the row is zero-filled so one bad clip doesn't kill the batch).
+// streams, so (seed, item_index) determinism carries over). rates[b] gets
+// the native rate, lens[b] the full decoded length (negative = decode
+// error; the row is zero-filled so one bad clip doesn't kill the batch).
 void hostplane_assemble_mp3_batch(const uint8_t** datas, const int64_t* sizes,
                                   float* out, int64_t batch,
                                   int64_t clip_samples, int gain_db,
                                   int64_t roll_range, int random_crop,
-                                  uint64_t seed, int32_t* rates,
-                                  int64_t* lens) {
+                                  const int64_t* item_index, uint64_t seed,
+                                  int32_t* rates, int64_t* lens) {
   PoolLease lease;
   lease->ParallelFor(batch, [&](int64_t b) {
     float* dst = out + b * clip_samples;
@@ -538,7 +537,7 @@ void hostplane_assemble_mp3_batch(const uint8_t** datas, const int64_t* sizes,
       n = DecodeMp3One(datas[b], sizes[b], wav.get(), wav_cap, &rates[b]);
       lens[b] = n;
     }
-    Rng rng(seed * 0x100000001B3ull + static_cast<uint64_t>(b));
+    Rng rng(seed * 0x100000001B3ull + static_cast<uint64_t>(item_index[b]));
     float gain;
     int64_t roll, off;
     DrawAugment(rng, gain_db, roll_range, random_crop, n, clip_samples,

@@ -607,6 +607,23 @@ class CachedDataset(AudioDataset):
         return wave, name, target
 
 
+_WAVMIX_SALT = 0x5BF03635  # wavmix draw-stream id (distinct from item augs)
+
+
+def wavmix_plan(seed: int, index: int, total: int, rate: float, beta: float):
+    """(apply, partner index, lambda) for one item — THE wavmix draw
+    sequence, a pure function of (seed, index). Both consumers
+    (WavMixDataset.mix_plan and NativeBatchBuilder) call this single
+    definition; the native/numpy bitwise-identical-plan contract depends
+    on there being exactly one."""
+    rng = item_rng(seed ^ _WAVMIX_SALT, index)
+    if rng.random() >= rate:
+        return False, index, np.float32(1.0)
+    idx2 = int(rng.integers(0, total))
+    lam = rng.beta(beta, beta)
+    return True, idx2, np.float32(max(lam, 1.0 - lam))
+
+
 class WavMixDataset(AudioDataset):
     epoch_dependent = True
     """Waveform mixup ("wavmix", reference MixupDataset,
@@ -643,12 +660,9 @@ class WavMixDataset(AudioDataset):
         """(apply, partner index, lambda) for item ``index`` — a pure
         function of (seed, index) so parallel workers and the native batch
         path draw the identical mix (see item_rng)."""
-        rng = item_rng(self._seed ^ 0x5BF03635, index)
-        if rng.random() >= self.rate:
-            return False, index, np.float32(1.0)
-        idx2 = int(rng.integers(0, len(self.dataset)))
-        lam = rng.beta(self.beta, self.beta)
-        return True, idx2, np.float32(max(lam, 1.0 - lam))
+        return wavmix_plan(
+            self._seed, index, len(self.dataset), self.rate, self.beta
+        )
 
     def __getitem__(self, index):
         apply_mix, idx2, lam = self.mix_plan(index)

@@ -41,10 +41,19 @@ def _lib_path() -> Optional[str]:
     return None
 
 
+_ABI_VERSION = 2  # must match hostplane_version() — bump on ABI change
+
+
 def load(n_threads: Optional[int] = None) -> Optional[ctypes.CDLL]:
-    """Load (and memoize) the native library; None if not built."""
+    """Load (and memoize) the native library; None if not built.
+
+    An explicit ``n_threads`` resizes the global worker pool, including on
+    an already-loaded library (hostplane_init quiesces in-flight work
+    first); ``None`` leaves a loaded pool untouched."""
     global _LIB, _SEARCHED
     if _LIB is not None or _SEARCHED:
+        if _LIB is not None and n_threads is not None:
+            _LIB.hostplane_init(n_threads)
         return _LIB
     _SEARCHED = True
     path = _lib_path()
@@ -53,6 +62,12 @@ def load(n_threads: Optional[int] = None) -> Optional[ctypes.CDLL]:
     lib = ctypes.CDLL(path)
     lib.hostplane_init.argtypes = [ctypes.c_int]
     lib.hostplane_version.restype = ctypes.c_int
+    got = lib.hostplane_version()
+    if got != _ABI_VERSION:
+        raise RuntimeError(
+            f"stale libhostplane.so at {path} (ABI v{got}, bindings need "
+            f"v{_ABI_VERSION}) — rebuild: make -C native, or pip install -e ."
+        )
     lib.hostplane_assemble_batch.argtypes = [
         ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_int64),
@@ -62,6 +77,7 @@ def load(n_threads: Optional[int] = None) -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.c_int64,
         ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
         ctypes.c_uint64,
     ]
     lib.hostplane_wavmix.argtypes = [
@@ -97,6 +113,7 @@ def load(n_threads: Optional[int] = None) -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.c_int64,
         ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
         ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64),
@@ -112,6 +129,19 @@ def available() -> bool:
     return load() is not None
 
 
+def _index_array(indices, b: int) -> np.ndarray:
+    """Per-item DATASET indices for RNG seeding (slot i draws from
+    fold(seed, indices[i])); defaults to 0..B-1 for standalone batches.
+    Seeding by dataset index keeps every item's augmentation stream
+    independent across an epoch — batch-position seeding would repeat the
+    same B draws every batch."""
+    if indices is None:
+        return np.arange(b, dtype=np.int64)
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    assert idx.shape == (b,), f"indices shape {idx.shape} != ({b},)"
+    return idx
+
+
 def assemble_batch(
     pcm_items,
     clip_samples: int,
@@ -119,9 +149,11 @@ def assemble_batch(
     roll_range: int = 0,
     random_crop: bool = False,
     seed: int = 0,
+    indices=None,
 ) -> np.ndarray:
     """pcm_items: list of int16 arrays -> [B, clip_samples] float32 with
-    fused decode/pad-or-crop/gain/roll (deterministic in (seed, index))."""
+    fused decode/pad-or-crop/gain/roll (deterministic in
+    (seed, indices[i]); see _index_array)."""
     lib = load()
     assert lib is not None, "libhostplane.so not built (make -C native)"
     b = len(pcm_items)
@@ -130,6 +162,7 @@ def assemble_batch(
         *[x.ctypes.data_as(ctypes.c_void_p).value for x in items]
     )
     lens = (ctypes.c_int64 * b)(*[len(x) for x in items])
+    idx = _index_array(indices, b)
     out = np.empty((b, clip_samples), dtype=np.float32)
     lib.hostplane_assemble_batch(
         ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
@@ -140,6 +173,7 @@ def assemble_batch(
         gain_db,
         roll_range,
         1 if random_crop else 0,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         seed,
     )
     return out
@@ -221,12 +255,13 @@ def assemble_mp3_batch(
     roll_range: int = 0,
     random_crop: bool = False,
     seed: int = 0,
+    indices=None,
 ):
     """mp3_items: list of uint8 buffers -> ([B, clip_samples] float32,
     native rates [B] int32, decoded lengths [B] int64) with fused
-    decode/pad-or-crop/gain/roll (deterministic in (seed, index); same RNG
-    streams as assemble_batch). lens[b] < 0 marks a decode error (row is
-    zeroed)."""
+    decode/pad-or-crop/gain/roll (deterministic in (seed, indices[i]);
+    same RNG streams as assemble_batch). lens[b] < 0 marks a decode error
+    (row is zeroed)."""
     lib = load()
     assert lib is not None and lib.hostplane_mp3_available(), (
         "mp3 decode needs libhostplane.so + libmpg123 (make -C native)"
@@ -242,6 +277,7 @@ def assemble_mp3_batch(
         *[x.ctypes.data_as(ctypes.c_void_p).value for x in items]
     )
     sizes = (ctypes.c_int64 * b)(*[x.size for x in items])
+    idx = _index_array(indices, b)
     out = np.empty((b, clip_samples), dtype=np.float32)
     rates = np.empty(b, dtype=np.int32)
     lens = np.empty(b, dtype=np.int64)
@@ -254,6 +290,7 @@ def assemble_mp3_batch(
         gain_db,
         roll_range,
         1 if random_crop else 0,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         seed,
         rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

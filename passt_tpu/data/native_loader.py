@@ -32,10 +32,8 @@ from passt_tpu.data import native
 from passt_tpu.data.datasets import (
     HDF5AudioDataset,
     epoch_seed,
-    item_rng,
+    wavmix_plan,
 )
-
-_WAVMIX_SALT = 0x5BF03635  # same stream id as WavMixDataset.mix_plan
 
 
 class NativeBatchBuilder:
@@ -118,8 +116,11 @@ class NativeBatchBuilder:
         self.merge_masks = merge_masks
         self._base_seed = seed
         self._seed = seed
-        self.num_workers = num_workers  # C++ pool width is set globally by
-        # native.load(); kept for introspection
+        self.num_workers = num_workers
+        if num_workers > 0:
+            # honor the configured worker count: resize the global C++
+            # pool (the numpy path obeys data.num_workers; so must this)
+            native.load(n_threads=num_workers)
 
     def set_epoch(self, epoch: int) -> None:
         self._seed = epoch_seed(self._base_seed, epoch)
@@ -146,8 +147,11 @@ class NativeBatchBuilder:
                 bufs[p], names[p], rows[p] = b[j], n[j], r[j]
         return bufs, names, np.stack(rows)
 
-    def _assemble(self, bufs, seed: int) -> np.ndarray:
+    def _assemble(self, bufs, seed: int, idxs) -> np.ndarray:
         ds = self.dataset
+        idxs = np.asarray(idxs, np.int64)  # GLOBAL dataset indices: slot b
+        # draws from fold(seed, idxs[b]) so augmentation streams are
+        # per-item across the epoch, not per batch position
         if ds.audio_column == "mp3":
             # fused decode(libmpg123)+pad/crop+gain+roll, pool-parallel —
             # the reference's 16 PyAV decode workers (ex_audioset.py:42-48)
@@ -158,6 +162,7 @@ class NativeBatchBuilder:
                 roll_range=self.roll_shift_range,
                 random_crop=ds.crop == "random",
                 seed=seed,
+                indices=idxs,
             )
             bad = np.nonzero(lens < 0)[0]
             if bad.size:  # propagate like a torch worker exception
@@ -187,6 +192,7 @@ class NativeBatchBuilder:
             roll_range=self.roll_shift_range,
             random_crop=ds.crop == "random",
             seed=seed,
+            indices=idxs,
         )
 
     def _targets(self, rows) -> np.ndarray:
@@ -199,7 +205,7 @@ class NativeBatchBuilder:
     def __call__(self, idxs) -> Dict[str, np.ndarray]:
         idxs = list(idxs)
         bufs, names, rows = self._raw_batch(idxs)
-        wave = self._assemble(bufs, self._seed)
+        wave = self._assemble(bufs, self._seed, idxs)
         target = self._targets(rows)
 
         if self.wavmix:
@@ -209,20 +215,25 @@ class NativeBatchBuilder:
             partners = list(idxs)
             lam = np.ones(len(idxs), np.float32)
             for b, i in enumerate(idxs):
-                rng = item_rng(self._seed ^ _WAVMIX_SALT, i)
-                if rng.random() < self.wavmix_rate:
+                applied, partner, l = wavmix_plan(
+                    self._seed, i, self._total, self.wavmix_rate,
+                    self.wavmix_beta,
+                )
+                if applied:
                     apply[b] = 1
-                    partners[b] = int(rng.integers(0, self._total))
-                    l = rng.beta(self.wavmix_beta, self.wavmix_beta)
-                    lam[b] = np.float32(max(l, 1.0 - l))
+                    partners[b] = partner
+                    lam[b] = l
             if apply.any():
                 # decode ONLY the applied partners (the numpy chain decodes
                 # partners lazily too; at rate 0.5 this halves the extra
                 # decode work) and scatter them into a full-batch buffer
                 # for the fused C++ mix
                 sel = np.nonzero(apply)[0]
-                bufs2, _, rows2_sel = self._raw_batch([partners[j] for j in sel])
-                other_sel = self._assemble(bufs2, self._seed ^ 0x9E3779B9)
+                partner_idx = [partners[j] for j in sel]
+                bufs2, _, rows2_sel = self._raw_batch(partner_idx)
+                other_sel = self._assemble(
+                    bufs2, self._seed ^ 0x9E3779B9, partner_idx
+                )
                 other = np.zeros_like(wave)
                 other[sel] = other_sel
                 native.wavmix(wave, other, lam, apply)

@@ -193,8 +193,11 @@ def _fused_attn_bwd(scale, plus1, interpret, res, do):
         # selection on backward=train, so e.g. saliency maps at eval
         # N=1190 take the fused FORWARD): recompute the same math as plain
         # XLA ops in fp32. Slower than the kernel, never wrong.
+        # HIGHEST precision: default lowers fp32 dots to single-pass bf16
+        # on the MXU, which would break the fp32-score contract.
+        ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
         qf, kf, vf, dof = (x.astype(jnp.float32) for x in (q, k, v, do))
-        s = jnp.einsum("bhnd,bhmd->bhnm", qf, kf) * jnp.float32(scale)
+        s = ein("bhnd,bhmd->bhnm", qf, kf) * jnp.float32(scale)
         m = jnp.max(s, axis=-1, keepdims=True)
         if plus1:
             m = jnp.maximum(m, 0.0)
@@ -203,13 +206,13 @@ def _fused_attn_bwd(scale, plus1, interpret, res, do):
         if plus1:
             l = l + jnp.exp(-m)
         pn = p / l
-        dp = jnp.einsum("bhnd,bhmd->bhnm", dof, vf)
+        dp = ein("bhnd,bhmd->bhnm", dof, vf)
         di = jnp.sum(pn * dp, axis=-1, keepdims=True)
         ds = pn * (dp - di) * jnp.float32(scale)
         return (
-            jnp.einsum("bhnm,bhmd->bhnd", ds, kf).astype(q.dtype),
-            jnp.einsum("bhnm,bhnd->bhmd", ds, qf).astype(k.dtype),
-            jnp.einsum("bhnm,bhnd->bhmd", pn, dof).astype(v.dtype),
+            ein("bhnm,bhmd->bhnd", ds, kf).astype(q.dtype),
+            ein("bhnm,bhnd->bhmd", ds, qf).astype(k.dtype),
+            ein("bhnm,bhnd->bhmd", pn, dof).astype(v.dtype),
         )
     kernel = functools.partial(
         _bwd_kernel, scale=scale, plus1=plus1, precision=_precision_for(q.dtype)

@@ -139,13 +139,19 @@ def fused_log_mel(
     log_offset: float = 1e-5,
     norm_shift: float = 4.5,
     norm_scale: float = 5.0,
-    interpret: bool = False,
+    interpret=None,
 ) -> jnp.ndarray:
     """[B, T] waveform + [n_mels, n_freq] mel bank -> [B, n_mels, frames].
 
     Pre-emphasis and reflect padding happen in XLA (they fuse into the DMA);
     framing, DFT, power, mel, log and normalization run in the kernel.
+    ``interpret`` defaults to Pallas interpreter mode off-TPU (same policy
+    as the attention/layernorm kernels), so an explicit
+    ``stft_method="pallas"`` on a CPU/GPU host runs instead of failing
+    Mosaic lowering.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     assert wave.ndim == 2
     b, t = wave.shape
     n_mels, n_freq = mel_bank.shape

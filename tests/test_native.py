@@ -15,7 +15,7 @@ def built_lib():
     subprocess.run(["make", "-C", "native", "-s"], check=True, cwd="/root/repo")
     lib = native.load(n_threads=2)
     assert lib is not None
-    assert lib.hostplane_version() == 1
+    assert lib.hostplane_version() == native._ABI_VERSION
     return lib
 
 
@@ -124,3 +124,32 @@ def test_lib_search_order(tmp_path, monkeypatch):
     override.write_bytes(b"")
     monkeypatch.setenv("PASST_TPU_HOSTPLANE", str(override))
     assert native._lib_path() == str(override)  # env wins when present
+
+
+def test_assemble_seeding_is_per_dataset_index(rng_np):
+    """Augmentation draws are seeded by DATASET index, not batch position:
+    the same PCM assembled under different indices (two 'batches' of an
+    epoch) must draw different gain/roll, while the same indices repeat
+    bit-identically. Position seeding — the round-2 review finding — would
+    collapse an epoch's diversity to one draw-set per batch slot."""
+    src = (rng_np.standard_normal(5000) * 10000).astype(np.int16)
+    items = [src] * 4
+    kw = dict(clip_samples=4000, gain_db=7, roll_range=50, random_crop=True, seed=3)
+    a = native.assemble_batch(items, **kw, indices=[0, 1, 2, 3])
+    b = native.assemble_batch(items, **kw, indices=[4, 5, 6, 7])
+    c = native.assemble_batch(items, **kw, indices=[0, 1, 2, 3])
+    np.testing.assert_array_equal(a, c)  # pure in (seed, index)
+    for slot in range(4):
+        assert not np.array_equal(a[slot], b[slot])  # fresh draws per item
+    # identical items with DISTINCT indices also differ within one batch
+    assert not np.array_equal(a[0], a[1])
+
+
+def test_unpack_targets_zero_fills_past_packed_row(rng_np):
+    """classes > 8*packed_width (container packed for fewer classes):
+    zero-fill like np.unpackbits(count=...), never read past the row."""
+    packed = rng_np.integers(0, 256, size=(3, 2), dtype=np.uint8)  # 16 bits
+    out = native.unpack_targets(packed, 30)
+    want = np.zeros((3, 30), np.float32)
+    want[:, :16] = np.unpackbits(packed, axis=1, count=16).astype(np.float32)
+    np.testing.assert_array_equal(out, want)
