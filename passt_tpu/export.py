@@ -245,7 +245,7 @@ def export_model(
         out_path,
         platforms,
         batch,
-        int(seconds * mel_cfg.sr),
+        int(round(seconds * mel_cfg.sr)),  # round: 32.3*32000 floats to ...99.99
         mel_cfg,
         manifest_fields,
         extra_specs=extra_specs,
@@ -313,7 +313,7 @@ def export_ensemble(
         out_path,
         platforms,
         batch,
-        int(seconds * mel_cfg.sr),
+        int(round(seconds * mel_cfg.sr)),  # round: 32.3*32000 floats to ...99.99
         mel_cfg,
         {
             "seconds": seconds,

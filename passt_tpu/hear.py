@@ -77,10 +77,15 @@ class Predictor:
         dtype: str = "bfloat16",
         **overrides,
     ) -> "Predictor":
-        from passt_tpu.models.registry import get_model
+        from passt_tpu.models.registry import ARCHS, get_model
 
         if mel_cfg is None:
             mel_cfg = default_inference_mel_cfg(arch)
+        if arch in ARCHS:
+            # trained time-grid geometry (20/30-sec and stfthop archs are
+            # NOT 998 frames — building them at the default would silently
+            # crop to a prefix of the clip; export.py applies the same)
+            overrides.setdefault("input_tdim", ARCHS[arch].input_tdim)
 
         model, params = get_model(
             arch=arch,

@@ -89,13 +89,21 @@ def _axis_mask(key, batch: int, size: int, mask_param: int, iid: bool) -> jnp.nd
     """SpecAugment mask along one axis -> boolean [batch, size] (True = masked).
 
     Matches torchaudio's sampling: width ~ U[0, mask_param), start ~
-    U[0, size - width); the float interval is compared against integer bin
-    indices (torchaudio functional.mask_along_axis semantics).
+    U[0, size - width). The default shared mode mirrors the reference's
+    actually-exercised path — a 3-D [B, F, T] mel makes
+    ``FrequencyMasking(iid_masks=True)`` fall back to
+    ``functional.mask_along_axis``, which truncates start AND width with
+    ``.long()`` (mask = [int(start), int(start)+int(width)); a full-width
+    ``mask_param`` mask is unreachable). ``iid=True`` keeps
+    ``mask_along_axis_iid``'s float-interval semantics.
     """
     n = batch if iid else 1
     k1, k2 = jax.random.split(key)
     width = jax.random.uniform(k1, (n, 1)) * mask_param
     start = jax.random.uniform(k2, (n, 1)) * (size - width)
+    if not iid:
+        width = jnp.floor(width)
+        start = jnp.floor(start)
     idx = jnp.arange(size, dtype=jnp.float32)[None, :]
     mask = (idx >= start) & (idx < start + width)
     if not iid:

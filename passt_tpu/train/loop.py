@@ -186,6 +186,11 @@ def evaluate(
     out = cat(outs)
     target = cat(targets)
     loss = cat(losses)
+    if len(out) == 0 and jax.process_count() == 1:
+        # single process, nothing to recover shapes from — fail clearly
+        # (the multi-host gather raises its own error when ALL ranks are
+        # empty, and fills this rank from the others when some are not)
+        raise ValueError("no eval batches (empty eval loader)")
     out, target, loss = _gather_across_processes(out, target, loss)
     metrics: Dict[str, float] = {
         "val_loss": float(np.mean(loss)),

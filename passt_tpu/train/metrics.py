@@ -138,4 +138,8 @@ def mean_average_precision(targets: np.ndarray, scores: np.ndarray, use_sklearn:
             return float(np.mean(ap))
         except Exception:
             pass
-    return float(np.nanmean(average_precision(targets, scores)))
+    # sklearn convention (the reference's): a class with no positive
+    # examples contributes AP 0.0 to the macro mean. average_precision
+    # returns NaN there; nanmean would EXCLUDE such classes and inflate
+    # the fallback's ap relative to the sklearn path on the same inputs.
+    return float(np.mean(np.nan_to_num(average_precision(targets, scores), nan=0.0)))

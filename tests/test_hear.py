@@ -92,3 +92,20 @@ def test_timestamp_embeddings_short_audio_and_full_span(tiny_predictor, rng_np):
     assert float(ts[-1]) >= 1000.0 - 50.0 - 1e-6  # grid reaches the last hop
     hops = np.diff(np.asarray(ts))
     np.testing.assert_allclose(hops, 50.0, atol=1e-6)
+
+
+def test_predictor_uses_arch_time_grid():
+    """Zoo archs trained on longer/denser time grids (20/30-sec, stfthop)
+    must build at THEIR input_tdim, not the 998 default — otherwise only a
+    prefix of the clip is scored (export.py applies the same override)."""
+    from passt_tpu.models.registry import ARCHS
+    from passt_tpu.hear import Predictor, default_inference_mel_cfg
+
+    arch = "passt_s_swa_f128_stfthop100_p16_s10_ap473"
+    p = Predictor.create(arch=arch, checkpoint_path=None, dtype="float32")
+    assert p.model.cfg.input_tdim == ARCHS[arch].input_tdim == 3200
+    assert default_inference_mel_cfg(arch).hopsize == 100
+    # explicit override still wins
+    p2 = Predictor.create(arch=arch, checkpoint_path=None, dtype="float32",
+                          input_tdim=500)
+    assert p2.model.cfg.input_tdim == 500

@@ -215,3 +215,27 @@ def test_frontend_matches_reference_torch_end_to_end():
     assert err.mean() <= 5e-6, f"frontend mean parity {err.mean()}"
     power = np.exp(ref_out * 5.0 - 4.5)  # undo (x+4.5)/5 and the log
     assert err[power >= np.median(power)].max() <= 2e-5
+
+
+def test_shared_mask_truncation_semantics():
+    """The default shared SpecAugment mask mirrors torchaudio
+    functional.mask_along_axis (the reference's exercised 3-D path):
+    start AND width truncated with .long(), so the masked run is exactly
+    [int(start), int(start)+int(width)) — never a full mask_param-wide
+    mask, unlike the float-interval iid variant."""
+    import jax
+
+    from passt_tpu.ops.frontend import _axis_mask
+
+    size, param, batch = 128, 48, 3
+    for seed in range(5):
+        key = jax.random.PRNGKey(seed)
+        m = np.asarray(_axis_mask(key, batch, size, param, iid=False))
+        k1, k2 = jax.random.split(key)
+        w = float(np.asarray(jax.random.uniform(k1, (1, 1))) * param)
+        s = float(np.asarray(jax.random.uniform(k2, (1, 1))) * (size - w))
+        lo = int(np.floor(s))
+        hi = lo + int(np.floor(w))
+        want = np.zeros(size, bool)
+        want[lo:hi] = True
+        np.testing.assert_array_equal(m, np.broadcast_to(want, (batch, size)))

@@ -393,3 +393,24 @@ def test_grad_accum_schedule_exact_for_non_divisible_epochs():
     np.testing.assert_allclose(
         np.asarray(params_a["w"]), np.asarray(params_r["w"]), rtol=1e-6, atol=1e-7
     )
+
+
+def test_map_fallback_matches_sklearn_on_empty_classes(rng_np):
+    """A class with zero positives contributes AP 0.0 under sklearn's
+    macro mean (the reference's convention); the numpy fallback must agree
+    instead of nanmean-excluding it."""
+    from passt_tpu.train.metrics import mean_average_precision
+
+    t = (rng_np.uniform(size=(40, 4)) < 0.3).astype(np.float32)
+    t[:, 2] = 0.0  # no positives in class 2
+    s = rng_np.standard_normal((40, 4))
+    a = mean_average_precision(t, s, use_sklearn=True)
+    b = mean_average_precision(t, s, use_sklearn=False)
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_evaluate_empty_loader_fails_clearly():
+    from passt_tpu.train.loop import evaluate
+
+    with pytest.raises(ValueError, match="no eval batches"):
+        evaluate(lambda p, b: None, {}, loader=[])
