@@ -213,6 +213,21 @@ def _decode_wav(buf: np.ndarray, target_rate: Optional[int] = None) -> np.ndarra
 decode_wav = _decode_wav
 
 
+def _decode_wav_column(buf: np.ndarray, expected_rate: Optional[int] = None) -> np.ndarray:
+    """The registered 'wav' column decoder: resamples each file to the
+    container's source rate when they differ (the reference loads wavs via
+    ``librosa.load(sr=32000)``, i.e. resample-on-load, esc50/dataset.py) —
+    without this a 44.1 kHz payload in a 32 kHz container would reach the
+    model silently time/pitch-warped (the mp3 column decoder validates the
+    same condition)."""
+    return _decode_wav(buf, target_rate=expected_rate)
+
+
+_decode_wav_column.expects_source_rate = True  # type: ignore[attr-defined]
+
+
+
+
 def _decode_mp3(buf: np.ndarray, expected_rate: Optional[int] = None) -> np.ndarray:
     """mp3 bytes -> float32 mono waveform at the file's native rate, via the
     native host plane + system libmpg123 (the reference's PyAV decode_mp3,
@@ -244,7 +259,7 @@ DECODERS: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
     "waveform": _decode_raw_f32,
     "raw_f32": _decode_raw_f32,
     "raw_i16": _decode_raw_i16,
-    "wav": _decode_wav,
+    "wav": _decode_wav_column,
     "mp3": _decode_mp3,
 }
 
@@ -362,9 +377,13 @@ class HDF5AudioDataset(AudioDataset):
 
     @property
     def epoch_dependent(self) -> bool:
-        """True when items vary with the epoch seed (gain augmentation or
-        random cropping)."""
-        return self.gain_augment_db > 0 or self.crop == "random"
+        """True when items vary with the epoch seed (gain augmentation,
+        random cropping, or IR convolution)."""
+        return (
+            self.gain_augment_db > 0
+            or self.crop == "random"
+            or (self.ir_augment_rate > 0 and bool(self.impulse_responses))
+        )
 
     def __len__(self) -> int:
         return self.length
@@ -676,10 +695,16 @@ class WavMixDataset(AudioDataset):
             x = x - x.mean()
             if self.merge_masks:
                 k = len(y1) // 2
+                m1 = (y1[k:] > 0.5).astype(np.float32)
+                m2 = (y2[k:] > 0.5).astype(np.float32)
+                # unobserved labels are ZEROED before the blend (reference
+                # openmic/dataset.py:131-134) — otherwise a partner's
+                # unobserved stored value leaks into a target the OR-merged
+                # mask marks observed
                 y = np.concatenate(
                     [
-                        y1[:k] * lam + y2[:k] * (1.0 - lam),
-                        ((y1[k:] > 0.5) | (y2[k:] > 0.5)).astype(np.float32),
+                        y1[:k] * m1 * lam + y2[:k] * m2 * (1.0 - lam),
+                        np.maximum(m1, m2),
                     ]
                 )
             else:

@@ -241,13 +241,16 @@ class NativeBatchBuilder:
                 y2[sel] = self._targets(rows2_sel)
                 if self.merge_masks:
                     k = target.shape[1] // 2
-                    mixed_labels = target[:, :k] * lam[:, None] + y2[:, :k] * (
-                        1.0 - lam[:, None]
+                    m1 = (target[:, k:] > 0.5).astype(np.float32)
+                    m2 = (y2[:, k:] > 0.5).astype(np.float32)
+                    # zero unobserved labels BEFORE the blend (reference
+                    # openmic/dataset.py:131-134; mirrors WavMixDataset)
+                    mixed_labels = target[:, :k] * m1 * lam[:, None] + y2[
+                        :, :k
+                    ] * m2 * (1.0 - lam[:, None])
+                    mixed = np.concatenate(
+                        [mixed_labels, np.maximum(m1, m2)], axis=1
                     )
-                    merged_mask = ((target[:, k:] > 0.5) | (y2[:, k:] > 0.5)).astype(
-                        np.float32
-                    )
-                    mixed = np.concatenate([mixed_labels, merged_mask], axis=1)
                 else:
                     mixed = target * lam[:, None] + y2 * (1.0 - lam[:, None])
                 target = np.where(apply[:, None] > 0, mixed, target)

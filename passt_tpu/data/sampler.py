@@ -35,6 +35,29 @@ def class_balanced_sample_weights(
     return all_weight.max(axis=1)
 
 
+def class_balanced_sample_weights_streamed(
+    chunk_iter_factory, num_classes: int, offset: float = 100.0
+) -> np.ndarray:
+    """Two-pass streamed :func:`class_balanced_sample_weights` for
+    containers too large to unpack at once (AudioSet-2M's multi-hot matrix
+    is ~4 GB fp32 and the in-memory path peaked at ~20 GB in fp64; the
+    math needs only per-class counts plus one matvec per row).
+    ``chunk_iter_factory()`` must yield the same ``[n, C]`` multi-hot
+    chunks on both calls. Same float64 math as the in-memory function."""
+    counts = np.zeros(num_classes, np.float64)
+    n = 0
+    for t in chunk_iter_factory():
+        counts += np.asarray(t, np.float64).sum(axis=0)
+        n += len(t)
+    per_class_weights = 1000.0 / (offset + counts)
+    out = np.empty(n, np.float64)
+    lo = 0
+    for t in chunk_iter_factory():
+        out[lo : lo + len(t)] = np.asarray(t, np.float64) @ per_class_weights
+        lo += len(t)
+    return out
+
+
 class WeightedEpochSampler:
     """Epoch-reseeded, rank-sliced weighted sampler
     (reference DistributedSamplerWrapper(WeightedRandomSampler),

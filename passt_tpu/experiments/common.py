@@ -28,7 +28,6 @@ from passt_tpu.data import (
     ShuffleSampler,
     WavMixDataset,
     WeightedEpochSampler,
-    class_balanced_sample_weights,
 )
 from passt_tpu.models.passt import init_passt
 from passt_tpu.ops.frontend import log_mel_spectrogram
@@ -130,14 +129,23 @@ def build_train_loader(cfg: ExperimentConfig, dataset=None, batch_scale: int = 1
     if d.weighted_sampler:
         import h5py
 
-        targets = []
-        for path in filter(None, [d.train_hdf5, d.train_hdf5_extra]):
-            with h5py.File(path, "r") as f:
-                t = f["target"][:]
-            if d.packed_targets:
-                t = np.unpackbits(t, axis=-1, count=d.num_classes)
-            targets.append(np.asarray(t, dtype=np.float32))
-        weights = class_balanced_sample_weights(np.concatenate(targets))
+        from passt_tpu.data.sampler import class_balanced_sample_weights_streamed
+
+        # streamed in row chunks: unpacking AudioSet-2M's full multi-hot
+        # matrix (2M x 527) peaked at ~20 GB host RAM to derive 2M scalars
+        def target_chunks(chunk_rows: int = 131072):
+            for path in filter(None, [d.train_hdf5, d.train_hdf5_extra]):
+                with h5py.File(path, "r") as f:
+                    col = f["target"]
+                    for lo in range(0, len(col), chunk_rows):
+                        t = col[lo : lo + chunk_rows]
+                        if d.packed_targets:
+                            t = np.unpackbits(t, axis=-1, count=d.num_classes)
+                        yield t
+
+        weights = class_balanced_sample_weights_streamed(
+            target_chunks, d.num_classes
+        )
         num_replicas, rank = _resolve_rank(d)
         sampler = WeightedEpochSampler(
             weights,
@@ -466,12 +474,18 @@ class Experiment:
                 f"model.ensemble must be one of {list(ENSEMBLES)}"
             )
         arch_list, published_map = ENSEMBLES[cfg.model.ensemble]
-        paths = None
-        if cfg.model.ensemble_checkpoint_dir:
-            paths = [
-                os.path.join(cfg.model.ensemble_checkpoint_dir, f"{arch}.npz")
-                for arch, _, _ in arch_list
-            ]
+        if not cfg.model.ensemble_checkpoint_dir:
+            # evaluating randomly initialized members would run a full eval
+            # pass and print ap~0.002 next to the published mAP — fail fast
+            raise SystemExit(
+                "model.ensemble_checkpoint_dir is required for "
+                "evaluate_ensemble (a directory of ported <arch>.npz "
+                "checkpoints; see scripts/port_checkpoint.py)"
+            )
+        paths = [
+            os.path.join(cfg.model.ensemble_checkpoint_dir, f"{arch}.npz")
+            for arch, _, _ in arch_list
+        ]
         pairs = get_ensemble_model(
             arch_list,
             checkpoint_paths=paths,
@@ -482,19 +496,28 @@ class Experiment:
         )
         mel_cfg = cfg.mel
         tdim = cfg.model.input_tdim
+        members = [m for m, _ in pairs]
+        params_list = [p for _, p in pairs]
 
+        # params ride as jit ARGUMENTS: arrays captured as graph constants
+        # run ~29x slower on this platform (see model_speed_test note)
         @jax.jit
-        def ens_step(wave):
+        def ens_step(params_list, wave):
             mel = log_mel_spectrogram(wave, mel_cfg, train=False)
-            out, _ = ensemble_apply(pairs, mel[:, None, :, :tdim])
+            out, _ = ensemble_apply(
+                list(zip(members, params_list)), mel[:, None, :, :tdim]
+            )
             return jax.nn.sigmoid(out)
 
         loader = build_eval_loader(cfg)
         outs, targets = [], []
-        for i, batch in enumerate(loader):
+        it = iter(loader)
+        for i, batch in enumerate(it):
             if cfg.trainer.limit_eval_batches is not None and i >= cfg.trainer.limit_eval_batches:
+                if hasattr(it, "stop"):
+                    it.stop()  # release the prefetch thread + queued batches
                 break
-            outs.append(np.asarray(ens_step(jnp.asarray(batch["wave"]))))
+            outs.append(np.asarray(ens_step(params_list, jnp.asarray(batch["wave"]))))
             targets.append(batch["target"])
         ap = mean_average_precision(np.concatenate(targets), np.concatenate(outs))
         print(
@@ -519,6 +542,12 @@ class Experiment:
             use_mixup=cfg.trainer.use_mixup, mixup_alpha=cfg.trainer.mixup_alpha,
             jit=False,
         )
+        if runtime is not None:
+            # measure the SAME graph production training runs: the wrapper
+            # pins batch + output param/opt shardings (mesh.py) — without
+            # it the fused AdamW moments come back replicated, regathering
+            # the TP shards every step
+            raw_step = runtime.wrap_train_step(raw_step, jit=False)
         b = speed_test_batch_size * (runtime.n_data if runtime else 1)
         x = jnp.ones((b, 1, cfg.model.input_fdim, cfg.model.input_tdim), jnp.float32)
         n_out = cfg.model.n_classes * (2 if cfg.trainer.loss_type == "masked" else 1)
@@ -592,7 +621,10 @@ class Experiment:
         ]:
             try:
                 loader = builder()
-                batch = next(iter(loader))
+                it = iter(loader)
+                batch = next(it)
+                if hasattr(it, "stop"):
+                    it.stop()  # single-batch peek must not leak the worker
                 print(name, batch["wave"].shape, batch["target"].shape, batch["name"][:3])
                 out[name] = tuple(batch["wave"].shape)
             except FileNotFoundError as e:
@@ -613,8 +645,11 @@ class Experiment:
         model, state, _, eval_step, _ = self.build(cfg)
         loader = build_eval_loader(cfg)
         names, outs, targets = [], [], []
-        for i, batch in enumerate(loader):
+        it = iter(loader)
+        for i, batch in enumerate(it):
             if cfg.trainer.limit_eval_batches is not None and i >= cfg.trainer.limit_eval_batches:
+                if hasattr(it, "stop"):
+                    it.stop()  # release the prefetch thread + queued batches
                 break
             res = eval_step(
                 state.params,

@@ -101,7 +101,7 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
-def make_parallel_train_step(step_fn, mesh: Mesh):
+def make_parallel_train_step(step_fn, mesh: Mesh, jit: bool = True):
     """Wrap a (state, batch, rng) -> (state, metrics) step for the mesh.
 
     The step function is already pure; correct distribution falls out of
@@ -139,4 +139,6 @@ def make_parallel_train_step(step_fn, mesh: Mesh):
         )
         return new_state, metrics
 
-    return jax.jit(wrapped, donate_argnums=(0,))
+    # jit=False returns the constrained-but-unjitted step for callers that
+    # embed it in a larger jitted graph (model_speed_test's fori_loop)
+    return jax.jit(wrapped, donate_argnums=(0,)) if jit else wrapped

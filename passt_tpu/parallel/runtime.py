@@ -86,8 +86,8 @@ class MeshRuntime:
         return out, n
 
     # -- steps ----------------------------------------------------------
-    def wrap_train_step(self, raw_step):
-        return make_parallel_train_step(raw_step, self.mesh)
+    def wrap_train_step(self, raw_step, jit: bool = True):
+        return make_parallel_train_step(raw_step, self.mesh, jit=jit)
 
 
 def maybe_mesh_runtime(trainer_cfg) -> Optional[MeshRuntime]:

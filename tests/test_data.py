@@ -685,3 +685,88 @@ def test_ir_augment_bank_config_activated(tmp_path, synth_hdf5):
 
         with pytest.raises(ValueError, match="ir_augment"):
             NativeBatchBuilder(ds_ir, seed=0)
+
+
+def test_wavmix_merge_masks_zero_unobserved_labels():
+    """Reference openmic/dataset.py:131-134: unobserved (mask=0) labels are
+    zeroed BEFORE the lambda blend — otherwise a partner's stale stored
+    value leaks into a target the OR-merged mask marks observed."""
+    from passt_tpu.data.datasets import WavMixDataset
+
+    y0 = np.array([0.9, 0.6, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0], np.float32)
+    y1 = np.array([0.8, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0], np.float32)
+
+    class TwoItems:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            x = np.full(100, 0.5 + i, np.float32)
+            return x, f"i{i}", (y0 if i == 0 else y1).copy()
+
+    for seed in range(200):
+        ds = WavMixDataset(TwoItems(), rate=0.9, seed=seed, merge_masks=True)
+        applied, partner, lam = ds.mix_plan(0)
+        if applied and partner == 1:
+            break
+    else:
+        raise AssertionError("no (apply, partner=1) plan found")
+    _, _, y = ds[0]
+    lam = float(lam)
+    # label 0: item0's 0.9 is UNOBSERVED (mask=0) -> contributes nothing
+    np.testing.assert_allclose(y[0], 0.8 * (1 - lam), rtol=1e-6)
+    # label 1: observed only on item0
+    np.testing.assert_allclose(y[1], 0.6 * lam, rtol=1e-6)
+    np.testing.assert_array_equal(y[4:], [1.0, 1.0, 0.0, 0.0])  # OR mask
+
+
+def test_epoch_dependent_includes_ir(synth_hdf5):
+    ds = HDF5AudioDataset(
+        synth_hdf5, classes_num=16, clip_length=2,
+        impulse_responses=[np.ones(4, np.float32)], ir_augment_rate=0.5,
+    )
+    assert ds.epoch_dependent
+    ds0 = HDF5AudioDataset(synth_hdf5, classes_num=16, clip_length=2)
+    assert not ds0.epoch_dependent
+
+
+def test_wav_column_resamples_to_container_rate(tmp_path, rng_np):
+    """A wav payload at a rate different from the container attr is
+    resampled on decode (reference librosa.load(sr=...) semantics), not
+    silently time/pitch-warped."""
+    import io
+    import wave as wavmod
+
+    from passt_tpu.data.prepare import pack_bytes_hdf5
+
+    def wav_bytes(x, rate):
+        b = io.BytesIO()
+        with wavmod.open(b, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes((x * 32767).astype(np.int16).tobytes())
+        return b.getvalue()
+
+    x16 = (rng_np.standard_normal(16000) * 0.1).astype(np.float32)
+    t = np.zeros(16, np.float32)
+    t[0] = 1
+    path = str(tmp_path / "w.h5")
+    pack_bytes_hdf5(
+        path, [("a.wav", wav_bytes(x16, 16000), t)], column="wav",
+        sample_rate=32000,
+    )
+    ds = HDF5AudioDataset(path, classes_num=16, clip_length=None)
+    w, _, _ = ds[0]
+    assert len(w) == 32000  # 1 s at the container rate (upsampled from 16k)
+
+
+def test_streamed_weights_match_in_memory(rng_np):
+    from passt_tpu.data.sampler import class_balanced_sample_weights_streamed
+
+    targets = (rng_np.uniform(size=(300, 16)) < 0.1).astype(np.float32)
+    want = class_balanced_sample_weights(targets)
+    got = class_balanced_sample_weights_streamed(
+        lambda: (targets[i : i + 64] for i in range(0, 300, 64)), 16
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-12)

@@ -317,3 +317,14 @@ def test_evaluate_ensemble_command(tmp_path, rng_np, monkeypatch):
     res = exp.evaluate_ensemble(cfg)
     assert 0.0 <= res["ap"] <= 1.0
     assert res["published_map"] == 0.48579
+
+
+def test_evaluate_ensemble_requires_checkpoint_dir():
+    """Without ported checkpoints the command must fail fast instead of
+    evaluating randomly initialized members to ap~0.002."""
+    exp = EXPERIMENTS["audioset"]
+    cfg = apply_overrides(
+        exp.default_config, {"model.ensemble": "ensemble_s16_14"}
+    )
+    with pytest.raises(SystemExit, match="ensemble_checkpoint_dir"):
+        exp.evaluate_ensemble(cfg)
