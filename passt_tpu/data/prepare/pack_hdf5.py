@@ -25,6 +25,14 @@ def _pack_targets(targets: np.ndarray, packed: bool):
     return targets.astype(np.float32)
 
 
+def _names_array(names) -> np.ndarray:
+    """Fixed-width S column sized to the longest name: a fixed 'S64' would
+    silently TRUNCATE longer names (numpy drops the overflow bytes), making
+    predictions unattributable downstream."""
+    width = max(64, max((len(n) for n in names), default=1))
+    return np.asarray(names, dtype=f"S{width}")
+
+
 def pack_waveform_hdf5(
     out_path: str,
     items: Iterable[Tuple[str, np.ndarray, np.ndarray]],
@@ -44,7 +52,7 @@ def pack_waveform_hdf5(
     targets = _pack_targets(np.stack(targets), packed_targets)
 
     with h5py.File(out_path, "w") as f:
-        f.create_dataset("audio_name", data=np.asarray(names, dtype="S64"))
+        f.create_dataset("audio_name", data=_names_array(names))
         dt = h5py.vlen_dtype(np.uint8)
         ds = f.create_dataset("raw_i16", shape=(len(waves),), dtype=dt)
         for i, w in enumerate(waves):
@@ -83,7 +91,7 @@ def pack_bytes_hdf5(
     targets = _pack_targets(np.stack(targets), packed_targets)
 
     with h5py.File(out_path, "w") as f:
-        f.create_dataset("audio_name", data=np.asarray(names, dtype="S64"))
+        f.create_dataset("audio_name", data=_names_array(names))
         dt = h5py.vlen_dtype(np.uint8)
         ds = f.create_dataset(column, shape=(len(blobs),), dtype=dt)
         for i, b in enumerate(blobs):

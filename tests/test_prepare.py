@@ -184,3 +184,24 @@ def test_openmic_end_to_end_prep(tmp_path):
     assert target.shape == (40,)
     np.testing.assert_allclose(target[:20], y_true[0], atol=1e-6)
     np.testing.assert_array_equal(target[20:], y_mask[0].astype(np.float32))
+
+
+def test_pack_names_longer_than_64_bytes_not_truncated(tmp_path):
+    """The audio_name column is sized to the longest name — a fixed S64
+    dtype silently truncated longer names (numpy drops overflow bytes)."""
+    import h5py
+
+    from passt_tpu.data.prepare import pack_waveform_hdf5
+
+    long_name = "a" * 80 + ".wav"
+    t = np.zeros(16, np.float32)
+    t[1] = 1
+    out = str(tmp_path / "long.h5")
+    pack_waveform_hdf5(
+        out,
+        [(long_name, np.zeros(100, np.float32), t), ("short.wav", np.zeros(100, np.float32), t)],
+        packed_targets=False,
+    )
+    with h5py.File(out, "r") as f:
+        names = [n.decode() for n in f["audio_name"][:]]
+    assert names == [long_name, "short.wav"]
