@@ -28,7 +28,15 @@ def _lib_candidates():
     source-checkout Makefile output (native/libhostplane.so)."""
     env = os.environ.get("PASST_TPU_HOSTPLANE")
     if env:
+        if not os.path.exists(env):
+            # An explicit override must not silently fall back to another
+            # .so — a typo'd path would make every "native plane"
+            # measurement exercise the wrong library.
+            raise FileNotFoundError(
+                f"PASST_TPU_HOSTPLANE={env!r} does not exist"
+            )
         yield env
+        return
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     yield os.path.join(pkg, "libhostplane.so")
     yield os.path.join(os.path.dirname(pkg), "native", "libhostplane.so")

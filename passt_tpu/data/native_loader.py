@@ -277,6 +277,15 @@ def maybe_native_builder(cfg) -> Optional[NativeBatchBuilder]:
             "(make -C native) -> numpy loader path"
         )
         return None
+    if getattr(d, "ir_augment", 0.0) and getattr(d, "ir_path", None):
+        # Decide BEFORE building: the builder rejects IR chains anyway, and
+        # build_base_train_dataset would re-load + resample the whole .wav
+        # bank just to throw it away.
+        print(
+            "[data] native_loader=true but ir_augment is python-side only "
+            "-> numpy loader path"
+        )
+        return None
     try:
         from passt_tpu.experiments.common import build_base_train_dataset
 

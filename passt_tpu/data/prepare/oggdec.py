@@ -88,14 +88,24 @@ def decode_ogg(path: str) -> Tuple[np.ndarray, int]:
         chunks = []
         buf = ctypes.create_string_buffer(1 << 16)
         bitstream = ctypes.c_int(0)
+        OV_HOLE = -3  # data interruption: recoverable, ov_read advances
+        errs = 0
         while True:
             n = lib.ov_read(
                 vf, buf, len(buf), 0, 2, 1, ctypes.byref(bitstream)
             )  # little-endian signed 16-bit
             if n == 0:
                 break
-            if n < 0:  # recoverable hole/desync: skip (ffmpeg is tolerant too)
+            if n < 0:
+                # Only OV_HOLE is a skip (ffmpeg is tolerant of holes too);
+                # persistent errors (OV_EBADLINK/OV_EINVAL) would otherwise
+                # spin this loop forever on a corrupt file. The cap also
+                # bounds a pathological hole-only stream.
+                errs += 1
+                if n != OV_HOLE or errs > 1000:
+                    raise ValueError(f"ov_read failed ({n}) on {path}")
                 continue
+            errs = 0
             chunks.append(np.frombuffer(buf.raw[:n], dtype="<i2").copy())
         if not chunks:
             raise ValueError(f"no audio decoded from {path}")

@@ -174,12 +174,21 @@ def build_train_loader(cfg: ExperimentConfig, dataset=None, batch_scale: int = 1
     )
 
 
-def build_eval_loader(cfg: ExperimentConfig, which: Optional[str] = None, batch_size=None):
+def build_eval_loader(
+    cfg: ExperimentConfig,
+    which: Optional[str] = None,
+    batch_size=None,
+    sharded: bool = True,
+):
+    """``sharded=False`` forces the full (unsharded) eval set: commands with
+    no cross-process gather (evaluate_ensemble, predict) must not consume a
+    1/P rank slice under multi-process JAX — only ``evaluate`` reassembles
+    shards via ``_gather_across_processes``."""
     which = which or cfg.data.eval_set
     d = cfg.data
     ds = build_eval_dataset(cfg, which)
     bs = batch_size or d.eval_batch_size
-    num_replicas, rank = _resolve_rank(d)
+    num_replicas, rank = _resolve_rank(d) if sharded else (1, 0)
     if d.clip_length is None and not d.eval_pad_multiple_s and bs > 1:
         # EXACT variable-length eval, batched: group clips by exact length
         # so no clip is ever padded (bitwise the reference's batch_size=1
@@ -509,7 +518,7 @@ class Experiment:
             )
             return jax.nn.sigmoid(out)
 
-        loader = build_eval_loader(cfg)
+        loader = build_eval_loader(cfg, sharded=False)  # no gather here
         outs, targets = [], []
         it = iter(loader)
         for i, batch in enumerate(it):
@@ -643,7 +652,7 @@ class Experiment:
         import os
 
         model, state, _, eval_step, _ = self.build(cfg)
-        loader = build_eval_loader(cfg)
+        loader = build_eval_loader(cfg, sharded=False)  # no gather here
         names, outs, targets = [], [], []
         it = iter(loader)
         for i, batch in enumerate(it):

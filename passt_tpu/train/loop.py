@@ -477,7 +477,22 @@ def restore_checkpoint(checkpoint_dir: str, state: TrainState, step: Optional[in
     try:
         restored = mgr.restore(epoch, args=ocp.args.StandardRestore(with_swa))
     except (ValueError, KeyError):
-        restored = mgr.restore(epoch, args=ocp.args.StandardRestore(base))
+        try:
+            restored = mgr.restore(epoch, args=ocp.args.StandardRestore(base))
+        except (ValueError, KeyError) as e:
+            # The most common structural mismatch: the checkpoint was written
+            # under a different trainer.opt_moments_dtype (the optimizer state
+            # pytree differs between fp32 optax.adamw and the fused bf16+SR
+            # transform), e.g. a pre-default-flip checkpoint resumed under the
+            # bfloat16_sr default.
+            raise RuntimeError(
+                f"checkpoint {checkpoint_dir}@{epoch} does not match the "
+                "current TrainState template. If it was written with a "
+                "different trainer.opt_moments_dtype (fp32 optax vs fused "
+                "bf16+SR moments have different opt_state structures), set "
+                "trainer.opt_moments_dtype to the value the run was started "
+                "with (null for pre-bf16_sr checkpoints)."
+            ) from e
     new_state = TrainState(
         params=restored["params"], opt_state=restored["opt_state"], step=restored["step"]
     )

@@ -770,3 +770,50 @@ def test_streamed_weights_match_in_memory(rng_np):
         lambda: (targets[i : i + 64] for i in range(0, 300, 64)), 16
     )
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_native_builder_skips_ir_chain_without_building(tmp_path, synth_hdf5, capsys, monkeypatch):
+    """The IR-chain fallback is decided BEFORE rebuilding the datasets —
+    build_base_train_dataset would re-load + resample the whole .wav bank
+    just for NativeBatchBuilder to reject it."""
+    from passt_tpu.data import native
+
+    if not native.available():
+        pytest.skip("libhostplane.so not built")
+    import dataclasses
+
+    import passt_tpu.experiments.common as common
+    from passt_tpu.data.native_loader import maybe_native_builder
+    from passt_tpu.experiments import EXPERIMENTS
+
+    def _must_not_build(*a, **k):
+        raise AssertionError("dataset rebuilt for a chain known ineligible")
+
+    monkeypatch.setattr(common, "build_base_train_dataset", _must_not_build)
+    base = EXPERIMENTS["audioset"].default_config
+    cfg = dataclasses.replace(
+        base,
+        data=dataclasses.replace(
+            base.data,
+            train_hdf5=synth_hdf5,
+            num_classes=16,
+            clip_length=2,
+            native_loader=True,
+            ir_augment=0.4,
+            ir_path=str(tmp_path),
+        ),
+    )
+    capsys.readouterr()
+    assert maybe_native_builder(cfg) is None
+    assert "ir_augment is python-side only" in capsys.readouterr().out
+
+
+def test_hostplane_env_override_must_exist(monkeypatch):
+    """An explicit PASST_TPU_HOSTPLANE pointing nowhere raises instead of
+    silently falling back to the packaged .so (A/B runs would measure the
+    wrong library)."""
+    from passt_tpu.data import native
+
+    monkeypatch.setenv("PASST_TPU_HOSTPLANE", "/nonexistent/libhostplane.so")
+    with pytest.raises(FileNotFoundError, match="PASST_TPU_HOSTPLANE"):
+        native._lib_path()

@@ -328,3 +328,65 @@ def test_evaluate_ensemble_requires_checkpoint_dir():
     )
     with pytest.raises(SystemExit, match="ensemble_checkpoint_dir"):
         exp.evaluate_ensemble(cfg)
+
+
+def test_eval_loader_sharded_flag(tmp_path, rng_np):
+    """Commands with no cross-process gather (evaluate_ensemble, predict)
+    request sharded=False and must see the FULL eval set even when the
+    config carries a multi-replica data layout."""
+    from passt_tpu.experiments.common import build_eval_loader
+
+    path = _make_synth(tmp_path, rng_np, n=24, classes=8)
+    exp = EXPERIMENTS["audioset"]
+    cfg = _shrink(exp.default_config, path, 8)
+    cfg = apply_overrides(
+        cfg, {"data.num_replicas": "2", "data.rank": "0", "model.n_classes": "8",
+              "data.num_classes": "8"}
+    )
+
+    def count(loader):
+        it = iter(loader)
+        n = sum(len(b["wave"]) for b in it)
+        return n
+
+    assert count(build_eval_loader(cfg)) == 12  # rank slice
+    assert count(build_eval_loader(cfg, sharded=False)) == 24  # full set
+
+
+def test_resume_moments_dtype_mismatch_is_actionable(tmp_path, rng_np):
+    """Restoring a checkpoint written under a different
+    trainer.opt_moments_dtype must raise an error that names the knob, not
+    an opaque orbax tree mismatch."""
+    import jax
+
+    from passt_tpu.models.passt import PaSSTConfig
+    from passt_tpu.train.loop import restore_checkpoint
+    from passt_tpu.train.steps import create_train_state, make_optimizer
+
+    cfg = PaSSTConfig(
+        input_fdim=32, input_tdim=50, embed_dim=32, depth=1, num_heads=2,
+        num_classes=8, dtype="float32",
+    )
+    tx32 = make_optimizer(lr=1e-3, steps_per_epoch=4, moments_dtype=None)
+    _, state32 = create_train_state(cfg, tx32, jax.random.PRNGKey(0))
+
+    import orbax.checkpoint as ocp
+
+    ckdir = str(tmp_path / "ck")
+    mgr = ocp.CheckpointManager(ckdir)
+    mgr.save(
+        0,
+        args=ocp.args.StandardSave(
+            {"params": state32.params, "opt_state": state32.opt_state,
+             "step": state32.step}
+        ),
+    )
+    mgr.wait_until_finished()
+
+    tx_sr = make_optimizer(lr=1e-3, steps_per_epoch=4, moments_dtype="bfloat16_sr")
+    _, state_sr = create_train_state(cfg, tx_sr, jax.random.PRNGKey(0))
+    with pytest.raises(RuntimeError, match="opt_moments_dtype"):
+        restore_checkpoint(ckdir, state_sr)
+    # matching template restores fine
+    st, swa, epoch = restore_checkpoint(ckdir, state32)
+    assert epoch == 0 and swa is None
