@@ -723,10 +723,21 @@ class Experiment:
     )
 
 
+def enable_compilation_cache(cache_dir: Optional[str]) -> None:
+    """Point JAX's persistent compilation cache at ``cache_dir`` (no-op when
+    None). Safe to call repeatedly; min-compile-time is zeroed so even the
+    small eval/mel executables are cached across process starts."""
+    if not cache_dir:
+        return
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def run_command(experiment: Experiment, argv) -> Dict:
     command, cfg = parse_cli(list(argv), experiment.default_config)
     if command not in experiment.COMMANDS:
         raise SystemExit(
             f"unknown command {command!r}; available: {experiment.COMMANDS}"
         )
+    enable_compilation_cache(cfg.trainer.compilation_cache_dir)
     return getattr(experiment, command)(cfg)

@@ -390,3 +390,26 @@ def test_resume_moments_dtype_mismatch_is_actionable(tmp_path, rng_np):
     # matching template restores fine
     st, swa, epoch = restore_checkpoint(ckdir, state32)
     assert epoch == 0 and swa is None
+
+
+def test_compilation_cache_knob(tmp_path):
+    """trainer.compilation_cache_dir wires JAX's persistent compile cache:
+    after enabling, a jitted executable lands in the directory so later
+    process starts skip the tens-of-seconds first compile (TPU UX; no
+    reference analogue — PL/torch has no cross-process compile cache)."""
+    import jax
+    import jax.numpy as jnp
+
+    from passt_tpu.experiments.common import enable_compilation_cache
+
+    base = EXPERIMENTS["audioset"].default_config
+    assert base.trainer.compilation_cache_dir is None  # default off
+    _, cfg = parse_cli(
+        ["main", f"trainer.compilation_cache_dir={tmp_path}"], base
+    )
+    enable_compilation_cache(cfg.trainer.compilation_cache_dir)
+    try:
+        jax.jit(lambda x: x * 3 + 1)(jnp.ones(8)).block_until_ready()
+        assert any(p.name.endswith("-cache") for p in tmp_path.iterdir())
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
