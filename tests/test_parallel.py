@@ -188,3 +188,44 @@ def test_dp_tp_step_with_fused_kernels(rng_np):
     qkv = new_state.params["blocks_0"]["attn"]["qkv"]["kernel"]
     assert qkv.sharding.spec == P(None, "model")
     assert new_state.opt_state.mu["blocks_0"]["attn"]["qkv"]["kernel"].sharding.spec == P(None, "model")
+
+
+def test_tp_halves_per_device_param_and_opt_bytes():
+    """TP evidence beyond "executes": per-device resident bytes, counted
+    exactly per leaf. Under dp4 x tp2 every TP-ruled leaf (qkv/proj/fc1/fc2
+    kernels+biases) holds nbytes/2 per device, everything else nbytes; the
+    same accounting covers the AdamW moments. At flagship scale the sharded
+    leaves are ~98% of the 86M params, so n_model=2 cuts per-device
+    param+optimizer memory nearly in half — the measured basis for the
+    SCALING.md claim."""
+    from passt_tpu.parallel.mesh import _flat_path, param_partition_spec
+
+    cfg, mcfg, tx, model, state = _tiny()
+    mesh = make_mesh(n_data=4, n_model=2)
+    dev0 = mesh.devices.flatten()[0]
+
+    def device0_bytes(tree):
+        total = 0
+        for leaf in jax.tree.leaves(tree):
+            for shard in leaf.addressable_shards:
+                if shard.device == dev0:
+                    total += shard.data.nbytes
+        return total
+
+    def expected_bytes(tree, tp):
+        total = 0
+        def add(keypath, leaf):
+            nonlocal total
+            spec = param_partition_spec(_flat_path(keypath), tp)
+            frac = 2 if any(ax == "model" for ax in spec if ax) else 1
+            total += leaf.nbytes // frac
+        jax.tree_util.tree_map_with_path(add, tree)
+        return total
+
+    for tree in (state.params, state.opt_state):
+        repl = replicate(tree, mesh)
+        shrd = shard_params(tree, mesh)
+        got_repl, got_tp = device0_bytes(repl), device0_bytes(shrd)
+        assert got_repl == expected_bytes(tree, tp=False)
+        assert got_tp == expected_bytes(tree, tp=True)
+        assert got_tp < got_repl  # TP strictly reduces per-device memory
