@@ -292,28 +292,50 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from passt_tpu.ops.pallas.attention import fused_attention, kernel_supports
+        from passt_tpu.ops.pallas.attention import (
+            flat_kernel_supports,
+            fused_attention,
+            fused_attention_qkv,
+            kernel_supports,
+        )
 
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
-        qkv = nn.Dense(
+        qkv_flat = nn.Dense(
             self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
             kernel_init=trunc_normal_init(), name="qkv",
         )(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+
+        # Kernel selection (attn dropout excluded from both fused paths;
+        # backward=train picks the larger forward-only VMEM ceilings at
+        # eval lengths — if someone differentiates through an eval-mode
+        # apply anyway (saliency), each kernel's own backward falls back
+        # to an XLA composition past its VMEM bound):
+        #  1. flat qkv-boundary kernel (train geometry; zero glue —
+        #     consumes the qkv Dense output, feeds the proj Dense, and the
+        #     VJP emits dqkv in the Dense-backward layout directly),
+        #  2. [B, H, N, D] kernel (larger geometries, e.g. eval N=1190 —
+        #     the flat kernel's full-row blocks exceed VMEM there),
+        #  3. the XLA einsum composition below (the behavioral reference).
+        fused_ok = self.fused and not (train and self.attn_drop > 0.0)
+        itemsize = jnp.dtype(self.dtype).itemsize
+        if fused_ok and flat_kernel_supports(
+            n, self.num_heads, head_dim, backward=train, itemsize=itemsize
+        ):
+            out = fused_attention_qkv(
+                qkv_flat, heads=self.num_heads, head_dim=head_dim,
+                scale=scale, plus1=self.plus1,
+            )
+            out = nn.Dense(
+                self.dim, dtype=self.dtype, kernel_init=trunc_normal_init(), name="proj"
+            )(out)
+            return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+        qkv = qkv_flat.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, Dh]
 
-        # backward=train picks the larger forward-only ceiling at eval
-        # lengths; if someone differentiates through an eval-mode apply
-        # anyway (saliency), the kernel's own backward falls back to an
-        # XLA composition past its VMEM bound (attention.py::_fused_attn_bwd).
-        use_fused = (
-            self.fused
-            and not (train and self.attn_drop > 0.0)
-            and kernel_supports(n, head_dim, backward=train)
-        )
-        if use_fused:
+        if fused_ok and kernel_supports(n, head_dim, backward=train):
             out = fused_attention(q, k, v, scale=scale, plus1=self.plus1)
             out = out.reshape(b, n, c)
             out = nn.Dense(

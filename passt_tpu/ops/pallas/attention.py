@@ -61,11 +61,54 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_N_FWD = 2048
 _MAX_N_BWD = 1024
 
+# VMEM budgets for the flat-boundary kernel's analytic estimate, anchored
+# to the MEASURED in-graph compile frontier on the v5e chip (C=768, H=12,
+# D=64, B=12; qkv-dense -> kernel -> proj-dense context):
+#   bf16 fwd:  N=600 compiles (est 10.3 MB), N=700 OOMs (est 12.5 MB)
+#   bf16 bwd:  N=474 compiles and RUNS the full train step (est 12.9 MB)
+#   fp32 fwd:  N=474 compiles (est 13.4 MB), N=520 OOMs (est 14.9 MB)
+#   fp32 bwd:  est 23 MB at N=474 -> always the [B, H, N, D] kernel
+# Mosaic's allocator is not an exact function of the estimate (its
+# temporary reuse differs by direction/dtype), so each (direction,
+# itemsize) carries its own measured budget rather than one constant.
+_FLAT_VMEM_BUDGET = {
+    (False, 2): int(10.5 * 1024 * 1024),  # bf16 fwd (ok @ est 10.3M)
+    (True, 2): 14 * 1024 * 1024,  # bf16 bwd (ok @ est 12.9M)
+    (False, 4): 14 * 1024 * 1024,  # fp32 fwd (ok 13.4M / OOM 14.9M)
+    (True, 4): 14 * 1024 * 1024,  # fp32 bwd (never reached: est > budget)
+}
+
 
 def kernel_supports(n: int, head_dim: int, *, backward: bool) -> bool:
     """True iff the fused kernel handles this geometry (``n`` sequence
     length, ``head_dim`` at most one MXU tile wide)."""
     return head_dim <= 128 and n <= (_MAX_N_BWD if backward else _MAX_N_FWD)
+
+
+def flat_kernel_supports(
+    n: int, heads: int, head_dim: int, *, backward: bool, itemsize: int = 2
+) -> bool:
+    """True iff the flat qkv-boundary kernel (:func:`fused_attention_qkv`)
+    fits this geometry in VMEM.
+
+    The flat kernel holds full-row blocks — qkv [N, 3C] in, o/do [N, C],
+    dqkv [N, 3C] out — double-buffered by the Pallas pipeline, plus the
+    per-head fp32 [N, N] score intermediates (one live in the forward,
+    ~three in the backward). Lane slicing needs ``head_dim`` to be a
+    multiple of 8 (sublane grain) and at most one lane tile."""
+    if head_dim > 128 or head_dim % 8 != 0:
+        return False
+    budget = _FLAT_VMEM_BUDGET.get((backward, itemsize))
+    if budget is None:  # exotic dtype width: stay on the proven kernels
+        return False
+    c = heads * head_dim
+    if backward:
+        blocks = 2 * n * (3 * c + c + 3 * c) * itemsize
+        scores = 3 * n * n * 4
+    else:
+        blocks = 2 * n * (3 * c + c) * itemsize
+        scores = 2 * n * n * 4
+    return blocks + scores <= budget
 
 
 def _precision_for(dtype) -> jax.lax.Precision:
@@ -268,3 +311,192 @@ def fused_attention(
     q, k, v = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
     o = _fused_attn(q, k, v, float(scale), bool(plus1), interpret)
     return jnp.transpose(o, (0, 2, 1, 3))
+
+
+# --------------------------------------------------------------------------
+# Flat qkv-boundary kernel (round 3): the kernel boundary IS the fused qkv
+# Dense output [B, N, 3C] and the proj Dense input [B, N, C] — no reshapes,
+# slices, or transposes in the XLA graph at all, and the backward emits
+# dqkv in the Dense-backward layout directly. Grid is (B,); the head loop
+# is UNROLLED with static 64-grain LANE slices inside full-row blocks
+# (Mosaic's block rule — last two block dims divisible by (8, 128) or full
+# — forbids blocking the head dim of a [B, N, 3, H, D] view, and sublane
+# head slicing crashed the Mosaic compiler in round 2; static lane slicing
+# is the layout-legal formulation). Measured on the chip at flagship train
+# geometry (B=12, H=12, N=474, D=64, bf16; scripts/proto_attn_qkv.py):
+# standalone fwd 0.140 vs 0.217 ms and fwd+bwd 0.491 vs 0.611 ms per block
+# against the transpose-boundary kernel above — the delta is exactly the
+# boundary glue PARITY.md round 2 bounded at ~1 ms/step.
+# --------------------------------------------------------------------------
+
+
+def _flat_fwd_kernel(qkv_ref, o_ref, *, heads, head_dim, scale, plus1, precision):
+    c = heads * head_dim
+    for h in range(heads):
+        lo = h * head_dim
+        q = qkv_ref[0, :, lo : lo + head_dim]
+        k = qkv_ref[0, :, c + lo : c + lo + head_dim]
+        v = qkv_ref[0, :, 2 * c + lo : 2 * c + lo + head_dim]
+        p, l = _softmax_parts(q, k, scale, plus1, precision)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, lo : lo + head_dim] = (o / l).astype(o_ref.dtype)
+
+
+def _flat_bwd_kernel(
+    qkv_ref, do_ref, dqkv_ref, *, heads, head_dim, scale, plus1, precision
+):
+    contract = lambda a, b, dims: jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    c = heads * head_dim
+    for h in range(heads):
+        lo = h * head_dim
+        q = qkv_ref[0, :, lo : lo + head_dim]
+        k = qkv_ref[0, :, c + lo : c + lo + head_dim]
+        v = qkv_ref[0, :, 2 * c + lo : 2 * c + lo + head_dim]
+        do = do_ref[0, :, lo : lo + head_dim]
+        p, l = _softmax_parts(q, k, scale, plus1, precision)
+        inv_l = 1.0 / l
+        # Same math as _bwd_kernel (see module docstring): dV with the row
+        # normalization folded into dO; dS = P_norm*(dP - di)*scale. The
+        # plus1 column is constant => backward formula unchanged.
+        do_n = (do.astype(jnp.float32) * inv_l).astype(p.dtype)
+        dv = contract(p, do_n, ((0,), (0,)))
+        dp = contract(do, v, ((1,), (1,)))
+        di = jnp.sum(p * dp, axis=-1, keepdims=True) * inv_l
+        ds = (p * inv_l) * (dp - di) * jnp.float32(scale)
+        ds_c = ds.astype(q.dtype)
+        dqkv_ref[0, :, lo : lo + head_dim] = contract(
+            ds_c, k, ((1,), (0,))
+        ).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + lo : c + lo + head_dim] = contract(
+            ds_c, q, ((0,), (0,))
+        ).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + lo : 2 * c + lo + head_dim] = dv.astype(
+            dqkv_ref.dtype
+        )
+
+
+def _flat_cost(qkv, heads, head_dim, flops_factor):
+    b, n, _ = qkv.shape
+    c = heads * head_dim
+    return pl.CostEstimate(
+        flops=flops_factor * b * heads * n * n * head_dim,
+        bytes_accessed=flops_factor // 2 * b * n * c * qkv.dtype.itemsize,
+        transcendentals=b * heads * n * n,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _flat_attn(qkv, heads, head_dim, scale, plus1, interpret):
+    return _flat_attn_fwd(qkv, heads, head_dim, scale, plus1, interpret)[0]
+
+
+def _flat_attn_fwd(qkv, heads, head_dim, scale, plus1, interpret):
+    b, n, c3 = qkv.shape
+    c = heads * head_dim
+    kernel = functools.partial(
+        _flat_fwd_kernel, heads=heads, head_dim=head_dim, scale=scale,
+        plus1=plus1, precision=_precision_for(qkv.dtype),
+    )
+    o = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        cost_estimate=_flat_cost(qkv, heads, head_dim, 4),
+        interpret=interpret,
+    )(qkv)
+    return o, (qkv,)
+
+
+def _flat_attn_bwd(heads, head_dim, scale, plus1, interpret, res, do):
+    (qkv,) = res
+    b, n, c3 = qkv.shape
+    c = heads * head_dim
+    if not flat_kernel_supports(
+        n, heads, head_dim, backward=True, itemsize=qkv.dtype.itemsize
+    ):
+        # Reachable only by differentiating through a forward that was
+        # selected with backward=False gating (saliency through eval):
+        # recompute with plain XLA ops — slower, never wrong.
+        ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+        qkv5 = qkv.reshape(b, n, 3, heads, head_dim).astype(jnp.float32)
+        qf, kf, vf = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
+        dof = do.reshape(b, n, heads, head_dim).astype(jnp.float32)
+        s = ein("bnhd,bmhd->bhnm", qf, kf) * jnp.float32(scale)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        if plus1:
+            m = jnp.maximum(m, 0.0)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if plus1:
+            l = l + jnp.exp(-m)
+        pn = p / l
+        dp = ein("bnhd,bmhd->bhnm", dof, vf)
+        di = jnp.sum(pn * dp, axis=-1, keepdims=True)
+        ds = pn * (dp - di) * jnp.float32(scale)
+        dq = ein("bhnm,bmhd->bnhd", ds, kf)
+        dk = ein("bhnm,bnhd->bmhd", ds, qf)
+        dv = ein("bhnm,bnhd->bmhd", pn, dof)
+        dqkv = jnp.stack([dq, dk, dv], axis=2).reshape(b, n, c3)
+        return (dqkv.astype(qkv.dtype),)
+    kernel = functools.partial(
+        _flat_bwd_kernel, heads=heads, head_dim=head_dim, scale=scale,
+        plus1=plus1, precision=_precision_for(qkv.dtype),
+    )
+    dqkv = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c3), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        cost_estimate=_flat_cost(qkv, heads, head_dim, 8),
+        interpret=interpret,
+    )(qkv, do)
+    return (dqkv,)
+
+
+_flat_attn.defvjp(_flat_attn_fwd, _flat_attn_bwd)
+
+
+def fused_attention_qkv(
+    qkv: jnp.ndarray,
+    *,
+    heads: int,
+    head_dim: int,
+    scale: float,
+    plus1: bool = False,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused attention over the RAW fused-qkv projection output.
+
+    Args:
+      qkv: ``[B, N, 3*heads*head_dim]`` — the qkv Dense output with the
+        reference column order ``(qkv, head, dim)``; consumed in place.
+      heads, head_dim: head geometry (``3*heads*head_dim == qkv.shape[-1]``).
+      scale: score scale (``head_dim ** -0.5``).
+      plus1: the reference "+1 trick" (see :func:`fused_attention`).
+      interpret: force Pallas interpreter mode (defaults to True off-TPU).
+
+    Returns:
+      ``[B, N, heads*head_dim]`` in the input dtype — the proj Dense input.
+      The VJP emits ``d(qkv)`` in the input layout (one kernel, no glue).
+    """
+    if qkv.shape[-1] != 3 * heads * head_dim:
+        raise ValueError(
+            f"qkv last dim {qkv.shape[-1]} != 3*{heads}*{head_dim}"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _flat_attn(qkv, heads, head_dim, float(scale), bool(plus1), interpret)

@@ -12,7 +12,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from passt_tpu.ops.pallas.attention import fused_attention, kernel_supports
+from passt_tpu.ops.pallas.attention import (
+    flat_kernel_supports,
+    fused_attention,
+    fused_attention_qkv,
+    kernel_supports,
+)
 
 
 def xla_attention(q, k, v, scale, plus1=False):
@@ -113,6 +118,102 @@ def test_kernel_supports_gating():
     assert kernel_supports(1190, 64, backward=False)  # flagship eval
     assert not kernel_supports(1190, 64, backward=True)  # bwd VMEM cap
     assert not kernel_supports(474, 256, backward=True)  # head_dim > lane
+
+
+def xla_attention_flat(qkv_flat, heads, head_dim, scale, plus1=False):
+    """The einsum composition from the raw qkv Dense output layout."""
+    b, n, _ = qkv_flat.shape
+    qkv = qkv_flat.reshape(b, n, 3, heads, head_dim)
+    out = xla_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], scale, plus1)
+    return out.reshape(b, n, heads * head_dim)
+
+
+@pytest.mark.parametrize("n", [128, 70, 300])
+@pytest.mark.parametrize("plus1", [False, True])
+def test_flat_forward_matches_xla_fp32(n, plus1):
+    heads, d = 3, 16
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (2, n, 3 * heads * d), jnp.float32)
+    scale = d ** -0.5
+    got = fused_attention_qkv(
+        qkv, heads=heads, head_dim=d, scale=scale, plus1=plus1, interpret=True
+    )
+    want = xla_attention_flat(qkv, heads, d, scale, plus1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6, rtol=1e-5)
+
+
+def test_flat_forward_matches_xla_bf16():
+    heads, d = 2, 32
+    qkv = jax.random.normal(
+        jax.random.PRNGKey(1), (2, 130, 3 * heads * d), jnp.float32
+    ).astype(jnp.bfloat16)
+    scale = d ** -0.5
+    got = fused_attention_qkv(qkv, heads=heads, head_dim=d, scale=scale, interpret=True)
+    want = xla_attention_flat(qkv, heads, d, scale)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2, rtol=3e-2
+    )
+
+
+@pytest.mark.parametrize("n", [128, 70])
+@pytest.mark.parametrize("plus1", [False, True])
+def test_flat_gradients_match_xla(n, plus1):
+    """The custom VJP's dqkv (emitted in the Dense-backward layout by one
+    kernel) == AD of the einsum composition."""
+    heads, d = 2, 16
+    qkv = jax.random.normal(jax.random.PRNGKey(2), (2, n, 3 * heads * d), jnp.float32)
+    scale = d ** -0.5
+    w = jax.random.normal(jax.random.PRNGKey(3), (2, n, heads * d), jnp.float32)
+
+    fused = lambda x: jnp.sum(
+        fused_attention_qkv(
+            x, heads=heads, head_dim=d, scale=scale, plus1=plus1, interpret=True
+        )
+        * w
+    )
+    ref = lambda x: jnp.sum(xla_attention_flat(x, heads, d, scale, plus1) * w)
+    got = jax.grad(fused)(qkv)
+    want = jax.grad(ref)(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-4)
+
+
+def test_flat_gradients_past_bwd_vmem_cap_fall_back_to_xla():
+    """Differentiating a forward selected under backward=False gating
+    (saliency through an eval-mode apply): the flat kernel's backward must
+    take its XLA fallback past the VMEM budget — and match AD exactly."""
+    heads, d = 12, 64
+    n = 420  # fwd fits the flat budget at fp32, bwd does not
+    assert flat_kernel_supports(n, heads, d, backward=False, itemsize=4)
+    assert not flat_kernel_supports(n, heads, d, backward=True, itemsize=4)
+    qkv = jax.random.normal(jax.random.PRNGKey(4), (1, n, 3 * heads * d), jnp.float32)
+    scale = d ** -0.5
+    w = jax.random.normal(jax.random.PRNGKey(5), (1, n, heads * d), jnp.float32)
+
+    fused = lambda x: jnp.sum(
+        fused_attention_qkv(x, heads=heads, head_dim=d, scale=scale, interpret=True) * w
+    )
+    ref = lambda x: jnp.sum(xla_attention_flat(x, heads, d, scale) * w)
+    got = jax.grad(fused)(qkv)
+    want = jax.grad(ref)(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-4)
+
+
+def test_flat_kernel_supports_gating():
+    # flagship train geometry (bf16): flat kernel on, fwd and bwd
+    assert flat_kernel_supports(474, 12, 64, backward=True, itemsize=2)
+    # flagship eval (N=1190): full-row blocks exceed VMEM -> [B,H,N,D] kernel
+    assert not flat_kernel_supports(1190, 12, 64, backward=False, itemsize=2)
+    assert kernel_supports(1190, 64, backward=False)
+    # 30-sec models' train geometry (N=2074): beyond both kernels -> XLA
+    assert not flat_kernel_supports(2074, 12, 64, backward=True, itemsize=2)
+    assert not kernel_supports(2074, 64, backward=True)
+    # lane-slicing grain: head_dim must be a sublane multiple
+    assert not flat_kernel_supports(128, 4, 12, backward=False, itemsize=2)
+    # bad geometry raises
+    with pytest.raises(ValueError):
+        fused_attention_qkv(
+            jnp.zeros((1, 8, 100)), heads=2, head_dim=16, scale=0.25, interpret=True
+        )
 
 
 def test_model_fused_matches_xla_logits_and_grads():
