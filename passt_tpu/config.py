@@ -119,6 +119,11 @@ class TrainerConfig:
     limit_eval_batches: Optional[int] = None
     checkpoint_dir: Optional[str] = None
     keep_last_n: int = 1
+    monitor: Optional[str] = None  # retain checkpoints by BEST value of this
+    # eval metric (epoch-record key, e.g. "allap") instead of most-recent —
+    # the reference's FSD50K ModelCheckpoint(monitor="allap", save_top_k,
+    # mode="max") (ex_fsd50k.py:292-294). keep_last_n becomes "keep best N".
+    monitor_mode: str = "max"  # "max" or "min"
     resume: bool = False  # resume from the latest checkpoint in checkpoint_dir
     dump_spectrograms: int = 0  # save the first N training batches' mels as
     # .npy under checkpoint_dir (the reference logs the first 5 steps'
@@ -136,6 +141,9 @@ class TrainerConfig:
     log_grad_norm: bool = False  # per-step global gradient norm in the
     # step metrics (the reference's wandb.watch gradient logging,
     # ex_audioset.py:344-346, reduced to a scalar)
+    log_grad_norm_per_block: bool = False  # additionally one norm per
+    # top-level param group (grad_norm/blocks_0, grad_norm/head_linear, …)
+    # — the scalar-cost analogue of wandb.watch's per-parameter histograms
     n_data: Optional[int] = None  # mesh axes; default all devices on data
     n_model: int = 1
     seed: int = 0

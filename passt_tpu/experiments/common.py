@@ -343,6 +343,7 @@ class Experiment:
             mixup_alpha=cfg.trainer.mixup_alpha,
             jit=runtime is None,
             log_grad_norm=cfg.trainer.log_grad_norm,
+            log_grad_norm_per_block=cfg.trainer.log_grad_norm_per_block,
         )
         if runtime is not None:
             state = runtime.shard_state(state)
@@ -367,6 +368,21 @@ class Experiment:
             cfg.trainer.ramp_down_len,
             cfg.trainer.last_lr_value,
         )
+
+    @staticmethod
+    def _resolve_monitor(monitor, val_loaders) -> "Optional[str]":
+        """Normalize trainer.monitor against the actual eval-set naming:
+        with ONE eval set the epoch record's keys are unprefixed ("allap"),
+        with several they carry the set prefix ("valid_allap"/"eval_allap")
+        — mirroring the reference's set_name+"allap" logging
+        (ex_fsd50k.py:222,254). A prefixed monitor against a single set (the
+        FSD50K recipe default run with only eval_hdf5 configured) resolves
+        to the unprefixed key instead of silently never matching."""
+        if monitor and len(val_loaders) <= 1:
+            for p in ("valid_", "eval_"):
+                if monitor.startswith(p):
+                    return monitor[len(p):]
+        return monitor
 
     def main(self, cfg: ExperimentConfig) -> Dict:
         """Train (the reference ``main`` command, ex_audioset.py:336-361).
@@ -435,6 +451,8 @@ class Experiment:
             logger=logger,
             checkpoint_dir=cfg.trainer.checkpoint_dir,
             keep_last_n=cfg.trainer.keep_last_n,
+            monitor=self._resolve_monitor(cfg.trainer.monitor, val_loaders),
+            monitor_mode=cfg.trainer.monitor_mode,
             single_label=self.single_label,
             masked=cfg.trainer.loss_type == "masked",
             swa_restore=swa_restore,

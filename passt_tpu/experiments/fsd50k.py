@@ -36,6 +36,15 @@ experiment = Experiment(
             swa=True,
             swa_epoch_start=10,
             swa_freq=3,
+            # Best-metric checkpoint retention on the validation set's mAP —
+            # the reference recipe's ModelCheckpoint(monitor="allap",
+            # save_top_k, mode="max") (ex_fsd50k.py:292-294). The reference
+            # logs that metric under a "valid_"/"eval_" set prefix
+            # (ex_fsd50k.py:222,254) — our dual-set epoch records use the
+            # same names, so the intended protocol metric is valid_allap.
+            # (With a single configured eval set the record key is plain
+            # "allap": set trainer.monitor=allap then.)
+            monitor="valid_allap",
         ),
     ),
 )

@@ -259,6 +259,8 @@ def fit(
     logger: Optional[MetricsLogger] = None,
     checkpoint_dir: Optional[str] = None,
     keep_last_n: int = 1,
+    monitor: Optional[str] = None,
+    monitor_mode: str = "max",
     single_label: bool = False,
     masked: bool = False,
     swa_restore=None,  # (avg_params, n_averaged) from restore_checkpoint
@@ -293,9 +295,29 @@ def fit(
     if checkpoint_dir:
         import orbax.checkpoint as ocp
 
+        # monitor=None: keep the most-recent N epoch checkpoints (reference
+        # AudioSet ModelCheckpoint monitor="step", ex_audioset.py:315-319).
+        # monitor="allap" etc.: keep the N checkpoints with the BEST value of
+        # that eval metric (reference FSD50K ModelCheckpoint(monitor="allap",
+        # save_top_k, mode="max"), ex_fsd50k.py:292-294) — a 50-epoch run
+        # whose best epoch lands mid-schedule retains the published-protocol
+        # artifact instead of losing it to keep-last-N.
+        opts = dict(max_to_keep=keep_last_n)
+        if monitor is not None:
+            if monitor_mode not in ("max", "min"):
+                raise ValueError(f"monitor_mode must be 'max' or 'min', got {monitor_mode!r}")
+            opts.update(
+                best_fn=lambda metrics: metrics[monitor],
+                best_mode=monitor_mode,
+                # an epoch without the metric (eval_every skip) must not be
+                # silently immortal nor crash best_fn — it is simply not saved
+                # (see the save-time gate below), so this flag is moot but set
+                # defensively for checkpoints written by other tools.
+                keep_checkpoints_without_metrics=False,
+            )
         ckpt_mgr = ocp.CheckpointManager(
             os.path.abspath(checkpoint_dir),
-            options=ocp.CheckpointManagerOptions(max_to_keep=keep_last_n),
+            options=ocp.CheckpointManagerOptions(**opts),
         )
 
     interrupted = False
@@ -444,30 +466,67 @@ def fit(
         history.append(record)
 
         if ckpt_mgr is not None:
-            payload = {"params": state.params, "opt_state": state.opt_state,
-                       "step": state.step}
-            if swa_state is not None:
-                payload["swa_params"] = swa_state.avg_params
-                payload["swa_n"] = jnp.int32(swa_state.n_averaged)
-            import orbax.checkpoint as ocp
+            if monitor is not None and monitor not in record:
+                # best-metric retention requires the metric: epochs that ran
+                # no eval (eval_every gaps, empty val_loaders) are not
+                # checkpointed — same cadence as the reference's
+                # ModelCheckpoint, which saves on validation end.
+                print(
+                    f"checkpoint skipped at epoch {epoch}: monitored metric "
+                    f"{monitor!r} not in this epoch's record (no eval ran)"
+                )
+            else:
+                payload = {"params": state.params, "opt_state": state.opt_state,
+                           "step": state.step}
+                if swa_state is not None:
+                    payload["swa_params"] = swa_state.avg_params
+                    payload["swa_n"] = jnp.int32(swa_state.n_averaged)
+                import orbax.checkpoint as ocp
 
-            ckpt_mgr.save(epoch, args=ocp.args.StandardSave(payload))
+                metrics_arg = None
+                if monitor is not None:
+                    metrics_arg = {monitor: float(record[monitor])}
+                ckpt_mgr.save(
+                    epoch, args=ocp.args.StandardSave(payload), metrics=metrics_arg
+                )
 
     if ckpt_mgr is not None:
         ckpt_mgr.wait_until_finished()
     return FitResult(state=state, swa=swa_state, history=history)
 
 
-def restore_checkpoint(checkpoint_dir: str, state: TrainState, step: Optional[int] = None):
+def restore_checkpoint(
+    checkpoint_dir: str,
+    state: TrainState,
+    step: Optional[int] = None,
+    monitor: Optional[str] = None,
+    monitor_mode: str = "max",
+):
     """Restore the latest (or given) epoch checkpoint into a TrainState
     template. Returns (state, swa_or_None, epoch) where swa is
     (avg_params, n_averaged). Checkpoints written by fit() after SWA starts
     contain swa_params/swa_n; the template adapts (an exact-match template
-    is required by orbax StandardRestore)."""
+    is required by orbax StandardRestore).
+
+    With ``monitor`` set (and no explicit ``step``), restores the BEST
+    checkpoint by that recorded metric instead of the latest — the partner
+    of fit(monitor=...) best-retention (reference FSD50K
+    ModelCheckpoint(monitor="allap"), ex_fsd50k.py:292-294)."""
     import orbax.checkpoint as ocp
 
-    mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
-    epoch = step if step is not None else mgr.latest_step()
+    opts = None
+    if monitor is not None:
+        opts = ocp.CheckpointManagerOptions(
+            best_fn=lambda metrics: metrics[monitor], best_mode=monitor_mode,
+            read_only=True,
+        )
+    mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir), options=opts)
+    if step is not None:
+        epoch = step
+    elif monitor is not None:
+        epoch = mgr.best_step()
+    else:
+        epoch = mgr.latest_step()
     if epoch is None:
         raise FileNotFoundError(f"no checkpoints in {checkpoint_dir}")
     base = {"params": state.params, "opt_state": state.opt_state, "step": state.step}

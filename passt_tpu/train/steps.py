@@ -141,6 +141,7 @@ def make_train_step(
     donate: bool = True,
     jit: bool = True,
     log_grad_norm: bool = False,
+    log_grad_norm_per_block: bool = False,
 ):
     """Build the jitted train step.
 
@@ -188,6 +189,14 @@ def make_train_step(
             # gradient observability (the reference's wandb.watch gradient
             # logging, ex_audioset.py:344-346, as a scalar global norm)
             metrics["grad_norm"] = optax.global_norm(grads)
+        if log_grad_norm_per_block:
+            # per-parameter-group norms — the closest in-graph analogue of
+            # wandb.watch's per-parameter histograms (ex_audioset.py:344-346)
+            # at scalar cost: one norm per top-level param group
+            # (patch_embed, blocks_0..N, head_*, pos embeds). Keys land in
+            # the step JSONL/wandb records via the loop's metric forwarding.
+            for group, sub in grads.items():
+                metrics[f"grad_norm/{group}"] = optax.global_norm(sub)
         return new_state, metrics
 
     if not jit:

@@ -97,6 +97,82 @@ def test_fit_checkpoint_and_resume(tmp_path, rng_np):
 
 
 @pytest.mark.slow
+def test_best_metric_checkpoint_retention(tmp_path, rng_np, monkeypatch):
+    """fit(monitor='allap') retains the BEST epoch by the monitored eval
+    metric, not the last (reference FSD50K ModelCheckpoint(monitor='allap',
+    save_top_k, mode='max'), ex_fsd50k.py:292-294). The metric is rigged
+    via a scripted evaluate() so the best epoch is mid-run."""
+    import passt_tpu.train.loop as loop_mod
+
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    rigged = iter([0.3, 0.9, 0.5])
+
+    def fake_evaluate(*a, **k):
+        return {"val_loss": 1.0, "ap": 0.0, "allap": next(rigged), "n_eval": 4}
+
+    monkeypatch.setattr(loop_mod, "evaluate", fake_evaluate)
+    ckpt = str(tmp_path / "ckpt_best")
+    res = fit(
+        train_step=step,
+        eval_step=ev,
+        state=state,
+        train_loader=_ListLoader(batches),
+        val_loader=_ListLoader(batches),  # evaluate() is rigged; content unused
+        max_epochs=3,
+        base_rng=jax.random.PRNGKey(1),
+        checkpoint_dir=ckpt,
+        keep_last_n=1,
+        monitor="allap",
+        logger=MetricsLogger(quiet=True),
+    )
+    assert [h["allap"] for h in res.history] == [0.3, 0.9, 0.5]
+
+    _, fresh_state = create_train_state(cfg, tx, jax.random.PRNGKey(99))
+    # best-by-metric restore lands on epoch 1 (allap 0.9), step 4 = 2
+    # epochs x 2 batches — NOT the final epoch 2 state
+    restored, _, epoch = restore_checkpoint(ckpt, fresh_state, monitor="allap")
+    assert epoch == 1
+    assert int(restored.step) == 4
+    # keep_last_n=1 best-retention: the final (worse) epoch was evicted
+    with pytest.raises(Exception):
+        restore_checkpoint(ckpt, fresh_state, step=2)
+    # plain restore (latest retained) is the same best checkpoint
+    assert restore_checkpoint(ckpt, fresh_state)[2] == 1
+
+
+@pytest.mark.slow
+def test_monitor_skips_epochs_without_eval(tmp_path, rng_np, monkeypatch, capsys):
+    """With monitor set and eval_every=2, non-eval epochs are not
+    checkpointed (the reference ModelCheckpoint saves on validation end)."""
+    import passt_tpu.train.loop as loop_mod
+
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    monkeypatch.setattr(
+        loop_mod, "evaluate",
+        lambda *a, **k: {"val_loss": 1.0, "allap": 0.5, "n_eval": 4},
+    )
+    ckpt = str(tmp_path / "ckpt_gap")
+    fit(
+        train_step=step,
+        eval_step=ev,
+        state=state,
+        train_loader=_ListLoader(batches),
+        val_loader=_ListLoader(batches),
+        max_epochs=2,
+        eval_every=2,
+        base_rng=jax.random.PRNGKey(1),
+        checkpoint_dir=ckpt,
+        monitor="allap",
+        logger=MetricsLogger(quiet=True),
+    )
+    out = capsys.readouterr().out
+    assert "checkpoint skipped at epoch 0" in out
+    _, fresh_state = create_train_state(cfg, tx, jax.random.PRNGKey(99))
+    # only epoch 1 (the eval epoch) was saved
+    assert restore_checkpoint(ckpt, fresh_state)[2] == 1
+
+
+@pytest.mark.slow
 def test_lr_logged(rng_np):
     cfg, tx, model, state, step, ev, batches = _setup(rng_np)
     from passt_tpu.train.steps import make_schedule

@@ -240,6 +240,37 @@ def test_mini_train_loss_decreases(rng_np):
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
+def test_per_block_grad_norm_logging(rng_np):
+    """log_grad_norm_per_block emits one finite norm per top-level param
+    group alongside the global norm (the scalar-cost analogue of the
+    reference's wandb.watch gradient logging, ex_audioset.py:344-346)."""
+    cfg = _tiny_cfg()
+    from passt_tpu.ops.frontend import MelConfig
+
+    mcfg = MelConfig(n_mels=32, freqm=4, timem=8)
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=5)
+    model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0))
+    step = make_train_step(
+        model, tx, mcfg, donate=False,
+        log_grad_norm=True, log_grad_norm_per_block=True,
+    )
+    batch = {
+        "wave": jnp.asarray(rng_np.standard_normal((2, 16000)).astype(np.float32)),
+        "target": jnp.asarray((rng_np.uniform(size=(2, 8)) < 0.3).astype(np.float32)),
+    }
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for group in ("patch_embed", "blocks_0", "blocks_1", "head_linear",
+                  "time_new_pos_embed"):
+        key = f"grad_norm/{group}"
+        assert key in metrics, sorted(metrics)
+        assert np.isfinite(float(metrics[key]))
+    # per-group norms compose to the global norm
+    total = np.sqrt(sum(
+        float(v) ** 2 for k, v in metrics.items() if k.startswith("grad_norm/")
+    ))
+    np.testing.assert_allclose(total, float(metrics["grad_norm"]), rtol=1e-5)
+
+
 def test_eval_step_deterministic_and_shapes(rng_np):
     cfg = _tiny_cfg()
     from passt_tpu.ops.frontend import MelConfig
