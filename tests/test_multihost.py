@@ -97,3 +97,48 @@ def test_two_process_gather_and_sampler(tmp_path):
     single = WeightedEpochSampler(np.linspace(0.5, 2.0, 40), epoch_len=20, seed=9)
     single.set_epoch(2)
     assert merged == list(single)
+
+    # --- multi-process TRAIN step == single-process step on the
+    # concatenated batch (the cross-process gradient psum path; reference
+    # DDP allreduce, ex_audioset.py:475-524). The workers ran 2 consecutive
+    # jitted DP steps over the 2-process mesh on rank-local shards; here the
+    # identical model/optimizer/batch/rng runs on ONE device.
+    import jax
+
+    from passt_tpu.models.passt import PaSSTConfig
+    from passt_tpu.ops.frontend import MelConfig
+    from passt_tpu.train.steps import create_train_state, make_optimizer, make_train_step
+
+    cfg = PaSSTConfig(
+        input_fdim=32, input_tdim=50, embed_dim=64, depth=2, num_heads=4,
+        num_classes=8, s_patchout_t=1, s_patchout_f=1,
+    )
+    mcfg = MelConfig(n_mels=32, freqm=4, timem=8)
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=2)
+    model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0))
+    grng = np.random.default_rng(7)
+    batch = {
+        "wave": np.asarray(grng.standard_normal((4, 16000)), np.float32),
+        "target": (grng.uniform(size=(4, 8)) < 0.3).astype(np.float32),
+    }
+    step = make_train_step(model, tx, mcfg, use_mixup=True, donate=False)
+    rng = jax.random.PRNGKey(42)
+    for s in (1, 2):
+        state, _ = step(state, batch, rng)
+        p_leaves = jax.tree.leaves(state.params)
+        o_leaves = [l for l in jax.tree.leaves(state.opt_state) if hasattr(l, "shape")]
+        for r in (r0, r1):  # every rank holds the same, correct result
+            for i, l in enumerate(p_leaves):
+                np.testing.assert_allclose(
+                    r[f"s{s}_p{i}"], np.asarray(l), rtol=2e-5, atol=1e-7,
+                    err_msg=f"step {s} param leaf {i}",
+                )
+            for i, l in enumerate(o_leaves):
+                np.testing.assert_allclose(
+                    r[f"s{s}_o{i}"], np.asarray(l), rtol=2e-5, atol=1e-7,
+                    err_msg=f"step {s} opt leaf {i}",
+                )
+    # and the two ranks agree bitwise with each other
+    for k in r0.files:
+        if k.startswith("s"):
+            np.testing.assert_array_equal(r0[k], r1[k])
