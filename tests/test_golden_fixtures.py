@@ -4,6 +4,13 @@ the ACTUAL reference torch code (scripts/gen_parity_fixtures.py).
 Unlike the oracle tests (test_mel.py / test_model_parity.py) these do NOT
 import torch or /root/reference — the parity suite stays meaningful in a
 torch-less environment and catches regressions against a frozen truth.
+
+Scope note: the mel fixture is FULL flagship frontend geometry, but the
+model fixture is thin-geometry (depth 3 / embed 128) at the full
+1190-token sequence — a flagship-width fixture would be ~344 MB. The
+torch-free lane therefore proves converter + architecture mechanics;
+full-flagship numerics live in the torch-oracle lane (test_model_parity,
+which runs green where torch is installed).
 """
 
 import os
