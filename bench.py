@@ -14,7 +14,8 @@ Two distinct baselines — kept separate on purpose:
   prints ~88 specs/s on one RTX 2080 Ti (arXiv 2110.05069 Fig. 1 setup;
   the published recipe trains on 2x 2080 Ti, ex_audioset.py:502). Our
   ``model_speed_test`` — the same workload semantics, mel excluded —
-  measures 392 specs/s on one v5e chip = 4.45x that anchor.
+  measures 442.7 specs/s on one v5e chip (round 3, production config)
+  = 5.0x that anchor.
 - ESTIMATED bar: BASELINE.json's ">= 2x A100/chip". No A100 number for
   this workload is published; the estimate chain is A100 ~ 2.8x a
   2080 Ti => ~250 specs/s => target 500 specs/s. ``vs_baseline`` divides
@@ -29,8 +30,10 @@ mAP 0.893 under bf16+SR vs 0.894 with fp32 moments) — and the
 frame-decomposed patch embed (patch_embed_impl=unfold; the overlapping
 stride-10 conv lowers at ~3% MXU efficiency, the reformulation is
 checkpoint-compatible and exact) and the saved-derivative tanh-GELU
-backward (gelu_saved_deriv; grads == AD). Expected ~31.1 ms/step = ~386
-specs/s = 55% of the chip's 188 TFLOP/s delivered matmul peak sustained
+backward (gelu_saved_deriv; grads == AD). Round 3 added the flat
+qkv-boundary attention kernel (kernel I/O is the raw fused-qkv Dense
+output — zero glue in-graph). Expected ~28.9 ms/step = ~416 specs/s =
+59% of the chip's 188 TFLOP/s delivered matmul peak sustained
 through the whole step. PARITY.md "Performance notes"
 carries the per-stage budget, the MFU derivation, and the
 kernel-by-kernel table bounding each remaining non-matmul millisecond
