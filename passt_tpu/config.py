@@ -144,6 +144,16 @@ class TrainerConfig:
     log_grad_norm_per_block: bool = False  # additionally one norm per
     # top-level param group (grad_norm/blocks_0, grad_norm/head_linear, …)
     # — the scalar-cost analogue of wandb.watch's per-parameter histograms
+    handle_sigterm: bool = True  # SIGTERM -> clean resumable exit (finish
+    # the current step/phase, keep the last epoch checkpoint; TPU-pod
+    # preemption grace handling — beyond reference, whose DDP parent just
+    # dies, ex_audioset.py:522-524)
+    profile_dir: Optional[str] = None  # capture a jax.profiler trace of
+    # training steps [profile_start_step, +profile_num_steps) to this dir
+    # (view with tensorboard/xprof; beyond reference — SURVEY.md §5 notes
+    # the reference has no profiler integration)
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
     n_data: Optional[int] = None  # mesh axes; default all devices on data
     n_model: int = 1
     seed: int = 0

@@ -453,6 +453,10 @@ class Experiment:
             keep_last_n=cfg.trainer.keep_last_n,
             monitor=self._resolve_monitor(cfg.trainer.monitor, val_loaders),
             monitor_mode=cfg.trainer.monitor_mode,
+            handle_sigterm=cfg.trainer.handle_sigterm,
+            profile_dir=cfg.trainer.profile_dir,
+            profile_start_step=cfg.trainer.profile_start_step,
+            profile_num_steps=cfg.trainer.profile_num_steps,
             single_label=self.single_label,
             masked=cfg.trainer.loss_type == "masked",
             swa_restore=swa_restore,
@@ -462,7 +466,11 @@ class Experiment:
             mel_cfg=cfg.mel,
             runtime=runtime,
         )
-        return {"done": True, "history": result.history}
+        return {
+            "done": True,
+            "interrupted": result.interrupted,
+            "history": result.history,
+        }
 
     def evaluate_only(self, cfg: ExperimentConfig) -> Dict:
         """Evaluate a (pretrained) model (ex_audioset.py:430-441) — the

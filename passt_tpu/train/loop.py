@@ -238,6 +238,8 @@ class FitResult:
     state: TrainState
     swa: Optional[SWAState]
     history: List[Dict[str, float]]
+    interrupted: bool = False  # Ctrl-C / SIGTERM clean exit (resume from
+    # the last epoch checkpoint)
 
 
 def fit(
@@ -270,6 +272,10 @@ def fit(
     dump_spectrograms: int = 0,
     mel_cfg=None,
     runtime=None,
+    handle_sigterm: bool = True,
+    profile_dir: Optional[str] = None,
+    profile_start_step: int = 10,
+    profile_num_steps: int = 5,
 ) -> FitResult:
     logger = logger or MetricsLogger()
     if runtime is not None and device_put is jnp.asarray:
@@ -321,6 +327,31 @@ def fit(
         )
 
     interrupted = False
+    # SIGTERM -> clean preemption exit (beyond reference: TPU pods are
+    # routinely preempted with a grace period; the reference's DDP parent
+    # just dies, ex_audioset.py:522-524). The handler only sets a flag —
+    # the batch loop converts it into the same clean-exit path as Ctrl-C
+    # (per-batch responsiveness ~one step; during eval/checkpoint the exit
+    # lands at the next epoch boundary — orbax saves are atomic either way).
+    _stop = {"sig": None}
+    _prev_sigterm = None
+    if handle_sigterm:
+        import signal
+
+        def _on_sigterm(signum, frame):
+            _stop["sig"] = signum
+            print("SIGTERM: finishing current phase, then exiting cleanly "
+                  "(resumable)", flush=True)
+
+        try:
+            _prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not the main thread (e.g. fit under a runner)
+            _prev_sigterm = None
+    # jax.profiler trace capture of a step window (beyond reference — the
+    # reference has no profiler integration, SURVEY.md §5). Trace starts at
+    # global step `profile_start_step` and stops `profile_num_steps` later;
+    # view with tensorboard/xprof. Process 0 only.
+    _prof_active = False
     # In-place progress line for interactive runs (the reference's tweaked
     # tqdm bar, ba3l/plutils progress_bar.py) — TTY only, loss/rate come
     # from the last logged window so no extra per-step device sync occurs.
@@ -340,10 +371,22 @@ def fit(
             train_loader.set_epoch(epoch)
             train_it = iter(train_loader)
             for i, batch in enumerate(train_it):
+                if _stop["sig"] is not None:
+                    if hasattr(train_it, "stop"):
+                        train_it.stop()
+                    raise KeyboardInterrupt  # same clean-exit path as Ctrl-C
                 if limit_train_batches is not None and i >= limit_train_batches:
                     if hasattr(train_it, "stop"):
                         train_it.stop()
                     break
+                if (
+                    profile_dir
+                    and not _prof_active
+                    and host_step == profile_start_step
+                    and jax.process_index() == 0
+                ):
+                    jax.profiler.start_trace(profile_dir)
+                    _prof_active = True
                 dev_batch = {
                     "wave": device_put(batch["wave"]),
                     "target": device_put(
@@ -384,6 +427,12 @@ def fit(
                 host_step += 1
                 n_batches += 1
                 pending_loss = metrics["loss"]
+                if _prof_active and host_step >= profile_start_step + profile_num_steps:
+                    # sync once so the traced window's device activity is
+                    # fully captured before the trace closes
+                    jax.block_until_ready(pending_loss)
+                    jax.profiler.stop_trace()
+                    _prof_active = False
                 if (i + 1) % log_every_steps == 0:
                     now = time.time()
                     row = {"epoch": epoch, "step": int(state.step), "loss": float(pending_loss)}
@@ -490,9 +539,24 @@ def fit(
                     epoch, args=ocp.args.StandardSave(payload), metrics=metrics_arg
                 )
 
+        if _stop["sig"] is not None:
+            # SIGTERM landed during eval/checkpoint: this epoch is complete
+            # and checkpointed — exit cleanly now.
+            interrupted = True
+            print(f"preempted: exiting cleanly after completed epoch {epoch}")
+            break
+
+    if _prof_active:  # run ended inside the profile window
+        jax.profiler.stop_trace()
+    if _prev_sigterm is not None:
+        import signal
+
+        signal.signal(signal.SIGTERM, _prev_sigterm)
     if ckpt_mgr is not None:
         ckpt_mgr.wait_until_finished()
-    return FitResult(state=state, swa=swa_state, history=history)
+    return FitResult(
+        state=state, swa=swa_state, history=history, interrupted=interrupted
+    )
 
 
 def restore_checkpoint(

@@ -271,3 +271,107 @@ def test_spectrogram_dump(tmp_path, rng_np):
     assert np.isclose(a, 0.9, atol=1e-6).any()
     for s in (1, 2, 3):
         assert not os.path.exists(tmp_path / f"spectrograms_step{s}.npy")
+
+
+@pytest.mark.slow
+def test_sigterm_preemption_clean_exit(tmp_path, rng_np):
+    """SIGTERM mid-training exits cleanly with the last COMPLETED epoch's
+    checkpoint on disk (TPU-pod preemption grace handling, beyond
+    reference — its DDP parent just dies, ex_audioset.py:522-524). The
+    signal is raised from a loader wrapper during epoch 1; fit must return
+    (not die), keep epoch 0's checkpoint, and restore the original
+    handler."""
+    import os
+    import signal
+
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    prev_handler = signal.getsignal(signal.SIGTERM)
+
+    class _KillingLoader(_ListLoader):
+        def __iter__(self):
+            for i, b in enumerate(self.batches):
+                if self.epoch == 1 and i == 1:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+    ckpt = str(tmp_path / "ckpt")
+    res = fit(
+        train_step=step,
+        eval_step=ev,
+        state=state,
+        train_loader=_KillingLoader(batches),
+        max_epochs=3,
+        base_rng=jax.random.PRNGKey(1),
+        checkpoint_dir=ckpt,
+        logger=MetricsLogger(quiet=True),
+    )
+    # epoch 0 completed (2 batches) + epoch 1's first batch ran before the
+    # flag check stopped the epoch; only epoch 0 is checkpointed/recorded.
+    assert res.interrupted
+    assert [r["epoch"] for r in res.history] == [0]
+    model2, fresh = create_train_state(cfg, tx, jax.random.PRNGKey(99))
+    restored, _, epoch = restore_checkpoint(ckpt, fresh)
+    assert epoch == 0 and int(restored.step) == 2
+    assert signal.getsignal(signal.SIGTERM) is prev_handler
+
+
+@pytest.mark.slow
+def test_sigterm_between_epochs_keeps_completed_epoch(tmp_path, rng_np, monkeypatch):
+    """SIGTERM landing during eval (between epochs) exits after the
+    completed epoch's checkpoint is written, not before."""
+    import os
+    import signal
+
+    import passt_tpu.train.loop as loop_mod
+
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+
+    def killing_evaluate(*a, **k):
+        os.kill(os.getpid(), signal.SIGTERM)
+        return {"val_loss": 1.0, "ap": 0.5, "allap": 0.5, "n_eval": 4}
+
+    monkeypatch.setattr(loop_mod, "evaluate", killing_evaluate)
+    ckpt = str(tmp_path / "ckpt")
+    res = fit(
+        train_step=step,
+        eval_step=ev,
+        state=state,
+        train_loader=_ListLoader(batches),
+        val_loader=_ListLoader(batches),
+        max_epochs=3,
+        base_rng=jax.random.PRNGKey(1),
+        checkpoint_dir=ckpt,
+        logger=MetricsLogger(quiet=True),
+    )
+    # epoch 0 ran to completion (incl. its rigged eval) and was saved;
+    # the loop then exited instead of starting epoch 1.
+    assert res.interrupted
+    assert [r["epoch"] for r in res.history] == [0]
+    assert res.history[0]["allap"] == 0.5
+    model2, fresh = create_train_state(cfg, tx, jax.random.PRNGKey(99))
+    _, _, epoch = restore_checkpoint(ckpt, fresh)
+    assert epoch == 0
+
+
+@pytest.mark.slow
+def test_profiler_trace_knob(tmp_path, rng_np):
+    """profile_dir captures a jax.profiler trace of the configured step
+    window (beyond reference: SURVEY.md §5 — no profiler integration
+    there). The trace must close even though the window covers the whole
+    2-step run."""
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    prof = tmp_path / "trace"
+    fit(
+        train_step=step,
+        eval_step=ev,
+        state=state,
+        train_loader=_ListLoader(batches),
+        max_epochs=1,
+        base_rng=jax.random.PRNGKey(1),
+        logger=MetricsLogger(quiet=True),
+        profile_dir=str(prof),
+        profile_start_step=0,
+        profile_num_steps=2,
+    )
+    traced = list(prof.rglob("*.xplane.pb"))
+    assert traced, f"no trace files under {prof}"
