@@ -413,3 +413,21 @@ def test_compilation_cache_knob(tmp_path):
         assert any(p.name.endswith("-cache") for p in tmp_path.iterdir())
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_resolve_monitor_prefix_normalization():
+    """trainer.monitor name resolution vs eval-set naming: prefixed
+    ("valid_allap", the FSD50K recipe default mirroring the reference's
+    set_name+"allap" logging, ex_fsd50k.py:222,254) must resolve to the
+    unprefixed record key when only ONE eval set is configured — otherwise
+    best-metric retention would silently never match."""
+    from passt_tpu.experiments.common import Experiment
+
+    one = {"": object()}
+    two = {"valid": object(), "eval": object()}
+    assert Experiment._resolve_monitor("valid_allap", one) == "allap"
+    assert Experiment._resolve_monitor("eval_allap", one) == "allap"
+    assert Experiment._resolve_monitor("valid_allap", two) == "valid_allap"
+    assert Experiment._resolve_monitor("allap", one) == "allap"
+    assert Experiment._resolve_monitor(None, one) is None
+    assert Experiment._resolve_monitor("", {}) == ""
