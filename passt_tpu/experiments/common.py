@@ -240,6 +240,10 @@ class Experiment:
     name: str
     default_config: ExperimentConfig
     single_label: bool = False
+    # model_speed_test default batch — the reference uses B=12 for AudioSet
+    # (ex_audioset.py:365) but B=100 for the fine-tune recipes
+    # (ex_esc50.py:281, ex_fsd50k.py); recipes override this field.
+    speed_test_batch_size: int = 12
     # train-set length cache keyed by hdf5 paths (steps_per_epoch feeds the
     # LR schedule; re-opening the files per call was a review finding)
     _len_cache: Dict = dataclasses.field(default_factory=dict, repr=False)
@@ -561,13 +565,19 @@ class Experiment:
         return {"ap": ap, "published_map": published_map}
 
     def model_speed_test(
-        self, cfg: ExperimentConfig, speed_test_batch_size: int = 12, test_length: int = 100
+        self, cfg: ExperimentConfig, speed_test_batch_size: Optional[int] = None,
+        test_length: int = 100,
     ) -> Dict:
         """Training-throughput harness (ex_audioset.py:365-426): timed
         fwd+loss+bwd+opt iterations on synthetic data, printed as
         specs/second. Iterates inside one compiled loop (axon-tunnel-safe).
         With trainer.n_data/n_model set, runs on the mesh and reports
-        aggregate specs/s (batch = speed_test_batch_size x n_data)."""
+        aggregate specs/s (batch = speed_test_batch_size x n_data).
+        Default batch is per-recipe (self.speed_test_batch_size): 12 for
+        AudioSet/OpenMIC, 100 for the ESC-50/FSD50K fine-tune recipes —
+        matching the reference's harness defaults (ex_esc50.py:281)."""
+        if speed_test_batch_size is None:
+            speed_test_batch_size = self.speed_test_batch_size
         from passt_tpu.parallel.runtime import maybe_mesh_runtime
 
         runtime = maybe_mesh_runtime(cfg.trainer)

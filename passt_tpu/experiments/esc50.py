@@ -13,6 +13,7 @@ from passt_tpu.experiments.common import Experiment
 experiment = Experiment(
     name="esc50",
     single_label=True,
+    speed_test_batch_size=100,  # reference harness default, ex_esc50.py:281
     default_config=ExperimentConfig(
         name="esc50",
         model=ModelSelect(n_classes=50, s_patchout_t=10, s_patchout_f=3),

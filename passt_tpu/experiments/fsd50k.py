@@ -13,6 +13,7 @@ from passt_tpu.experiments.common import Experiment
 
 experiment = Experiment(
     name="fsd50k",
+    speed_test_batch_size=100,  # reference harness default, ex_esc50.py:281 family
     default_config=ExperimentConfig(
         name="fsd50k",
         model=ModelSelect(n_classes=200, s_patchout_t=10, s_patchout_f=4),

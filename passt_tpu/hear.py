@@ -60,12 +60,19 @@ class Predictor:
     >>> p = Predictor.create(arch="passt_s_swa_p16_128_ap476",
     ...                      checkpoint_path=".../ported.npz")
     >>> logits = p(wave)              # [B, 527] AudioSet logits
-    >>> emb = p.scene_embeddings(wave)  # [B, 768]
+    >>> emb = p.scene_embeddings(wave)  # [B, 1295] logits ‖ features (mode="all")
+    >>> emb = p.scene_embeddings(wave, mode="embed_only")  # [B, 768]
     """
 
     model: PaSST
     params: dict
     mel_cfg: MelConfig
+    # hear21passt's ``get_basic_model(mode=...)`` embedding contract
+    # (reference README.md:48-65 ecosystem): "all" = logits ‖ features
+    # (1295-d for the 527-class flagship — the HEAR-benchmark submission's
+    # scene embedding), "logits" = classifier logits only, "embed_only" =
+    # the 768-d averaged CLS/DIST features.
+    mode: str = "all"
     _apply: Optional[callable] = None
 
     @classmethod
@@ -75,6 +82,7 @@ class Predictor:
         checkpoint_path: Optional[str] = None,
         mel_cfg: Optional[MelConfig] = None,
         dtype: str = "bfloat16",
+        mode: str = "all",
         **overrides,
     ) -> "Predictor":
         from passt_tpu.models.registry import ARCHS, get_model
@@ -94,7 +102,7 @@ class Predictor:
             dtype=dtype,
             **overrides,
         )
-        return cls(model=model, params=params, mel_cfg=mel_cfg)
+        return cls(model=model, params=params, mel_cfg=mel_cfg, mode=mode)
 
     def _fn(self):
         if self._apply is None:
@@ -113,14 +121,30 @@ class Predictor:
         return self._fn()(self.params, jnp.asarray(wave))
 
     # ---- HEAR benchmark surface -----------------------------------------
-    def scene_embeddings(self, wave) -> jnp.ndarray:
-        """[B, T] -> [B, D] clip-level embedding (the averaged CLS/DIST
-        features, hear21passt get_scene_embeddings)."""
-        _, feats = self._fn()(self.params, jnp.asarray(wave))
-        return feats
+    def _embed(self, logits, feats, mode: Optional[str]) -> jnp.ndarray:
+        mode = mode or self.mode
+        if mode == "all":
+            return jnp.concatenate([logits, feats], axis=-1)
+        if mode == "logits":
+            return logits
+        if mode == "embed_only":
+            return feats
+        raise ValueError(
+            f"unknown embedding mode {mode!r}; known: all / logits / embed_only"
+        )
+
+    def scene_embeddings(self, wave, mode: Optional[str] = None) -> jnp.ndarray:
+        """[B, T] -> [B, D] clip-level embedding (hear21passt
+        get_scene_embeddings). D depends on ``mode`` (default: the
+        Predictor's): "all" = n_classes + 768 (the reference ecosystem's
+        1295-d logits ‖ features contract), "logits" = n_classes,
+        "embed_only" = 768 averaged CLS/DIST features."""
+        logits, feats = self._fn()(self.params, jnp.asarray(wave))
+        return self._embed(logits, feats, mode)
 
     def timestamp_embeddings(
-        self, wave, window_seconds: float = 0.16, hop_seconds: float = 0.05
+        self, wave, window_seconds: float = 0.16, hop_seconds: float = 0.05,
+        mode: Optional[str] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """[B, T] -> ([B, N, D] embeddings, [N] timestamps in ms):
         sliding-window scene embeddings (hear21passt
@@ -139,7 +163,8 @@ class Predictor:
         centers = np.arange(win // 2, win // 2 + t, hop)  # in padded coords
         windows = [padded[:, c - win // 2 : c - win // 2 + win] for c in centers]
         stacked = jnp.stack(windows, axis=1).reshape(b * len(centers), win)
-        _, feats = self._fn()(self.params, stacked)
+        logits, feats = self._fn()(self.params, stacked)
+        feats = self._embed(logits, feats, mode)
         feats = feats.reshape(b, len(centers), -1)
         timestamps = jnp.asarray((centers - win // 2) / sr * 1000.0)
         return feats, timestamps

@@ -339,9 +339,14 @@ def fit(
         import signal
 
         def _on_sigterm(signum, frame):
+            # flag-only: print() can raise "reentrant call inside
+            # BufferedWriter" if the signal lands mid-write (likely with the
+            # per-batch TTY progress line). os.write(2, ...) is
+            # async-signal-safe; the human-readable notice is printed by the
+            # batch-loop flag check instead.
             _stop["sig"] = signum
-            print("SIGTERM: finishing current phase, then exiting cleanly "
-                  "(resumable)", flush=True)
+            os.write(2, b"SIGTERM: finishing current phase, then exiting "
+                        b"cleanly (resumable)\n")
 
         try:
             _prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
@@ -352,6 +357,10 @@ def fit(
     # global step `profile_start_step` and stops `profile_num_steps` later;
     # view with tensorboard/xprof. Process 0 only.
     _prof_active = False
+    _prof_done = False  # one-shot: fire at the FIRST step >= start (a
+    # resumed run whose restored step already exceeds profile_start_step
+    # still gets its trace window instead of silently never profiling)
+    _prof_start = profile_start_step
     # In-place progress line for interactive runs (the reference's tweaked
     # tqdm bar, ba3l/plutils progress_bar.py) — TTY only, loss/rate come
     # from the last logged window so no extra per-step device sync occurs.
@@ -360,200 +369,247 @@ def fit(
     show_progress = sys.stdout.isatty() and jax.process_index() == 0
     # host-side global step mirror (avoids a per-batch device sync)
     host_step = int(state.step)
-    for epoch in range(start_epoch, max_epochs):
-        t_epoch = time.time()
-        t_window = t_epoch  # for the it/s rate in step logs (the
-        # reference's tqdm progress bar shows the same live rate)
-        n_batches = 0
-        pending_loss = None
-        progress_tail = ""
-        try:
-            train_loader.set_epoch(epoch)
-            train_it = iter(train_loader)
-            for i, batch in enumerate(train_it):
-                if _stop["sig"] is not None:
-                    if hasattr(train_it, "stop"):
-                        train_it.stop()
-                    raise KeyboardInterrupt  # same clean-exit path as Ctrl-C
-                if limit_train_batches is not None and i >= limit_train_batches:
-                    if hasattr(train_it, "stop"):
-                        train_it.stop()
-                    break
-                if (
-                    profile_dir
-                    and not _prof_active
-                    and host_step == profile_start_step
-                    and jax.process_index() == 0
-                ):
-                    jax.profiler.start_trace(profile_dir)
-                    _prof_active = True
-                dev_batch = {
-                    "wave": device_put(batch["wave"]),
-                    "target": device_put(
-                        batch["target"].astype(np.int32 if single_label else np.float32)
-                    ),
-                }
-                # Visual sanity dump of the *augmented* training input
-                # (reference wandb spectrogram images, ex_audioset.py:161-167,
-                # gated on the global step like the reference so resume does
-                # not overwrite the true first-steps snapshots). host_step
-                # mirrors state.step without a per-batch device sync.
-                if (
-                    dump_spectrograms
-                    and host_step < dump_spectrograms
-                    and mel_cfg is not None
-                    and jax.process_index() == 0
-                ):
-                    from passt_tpu.ops.frontend import log_mel_spectrogram
 
-                    out_dir = checkpoint_dir or "."
-                    # exact same key derivation as the train step's k_mel
-                    # (steps.py: split(fold_in(rng, step), 5)[0]) so the
-                    # dump shows the actual training augmentation
-                    k_mel = jax.random.split(
-                        jax.random.fold_in(base_rng, host_step), 5
-                    )[0]
-                    mel_img = np.asarray(
-                        log_mel_spectrogram(
-                            dev_batch["wave"], mel_cfg, rng=k_mel, train=True
+    n_proc = jax.process_count()
+
+    def _stop_agreed(collective_point: bool) -> bool:
+        """Consistent stop decision across processes.
+
+        Single process: the local flag, checked every batch. Multi-process:
+        SIGTERM can be observed by different ranks at different batch
+        indices — a rank that exits mid-epoch leaves the others blocked in
+        the next step's gradient all-reduce — so the flag is ALL-GATHERED at
+        deterministic points only (the log cadence and the epoch boundary)
+        and honored iff ANY rank saw it, at the same index on every rank
+        (SCALING.md preemption semantics: signal all ranks)."""
+        if n_proc == 1:
+            return _stop["sig"] is not None
+        if not collective_point:
+            return False
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.array([1 if _stop["sig"] is not None else 0], np.int32)
+        )
+        if int(np.asarray(flags).sum()) > 0:
+            _stop["sig"] = _stop["sig"] or -1  # propagate the agreement
+            return True
+        return False
+    # Everything that must run no matter how the loop exits — the
+    # SIGTERM-handler restore, an open profiler trace, and pending
+    # async orbax saves — lives in the finally block: an exception
+    # escaping the epoch loop (prefetcher error, eval/orbax failure,
+    # real Ctrl-C during eval) must not leave the flag-only handler
+    # installed process-wide (SIGTERMs would be swallowed forever)
+    # nor leak a running trace.
+    try:
+        for epoch in range(start_epoch, max_epochs):
+            t_epoch = time.time()
+            t_window = t_epoch  # for the it/s rate in step logs (the
+            # reference's tqdm progress bar shows the same live rate)
+            n_batches = 0
+            pending_loss = None
+            progress_tail = ""
+            try:
+                train_loader.set_epoch(epoch)
+                train_it = iter(train_loader)
+                for i, batch in enumerate(train_it):
+                    if _stop_agreed(i % log_every_steps == 0):
+                        if hasattr(train_it, "stop"):
+                            train_it.stop()
+                        raise KeyboardInterrupt  # same clean-exit path as Ctrl-C
+                    if limit_train_batches is not None and i >= limit_train_batches:
+                        if hasattr(train_it, "stop"):
+                            train_it.stop()
+                        break
+                    if (
+                        profile_dir
+                        and not _prof_active
+                        and not _prof_done
+                        and host_step >= profile_start_step
+                        and jax.process_index() == 0
+                    ):
+                        jax.profiler.start_trace(profile_dir)
+                        _prof_active = True
+                        _prof_start = host_step
+                    dev_batch = {
+                        "wave": device_put(batch["wave"]),
+                        "target": device_put(
+                            batch["target"].astype(np.int32 if single_label else np.float32)
+                        ),
+                    }
+                    # Visual sanity dump of the *augmented* training input
+                    # (reference wandb spectrogram images, ex_audioset.py:161-167,
+                    # gated on the global step like the reference so resume does
+                    # not overwrite the true first-steps snapshots). host_step
+                    # mirrors state.step without a per-batch device sync.
+                    if (
+                        dump_spectrograms
+                        and host_step < dump_spectrograms
+                        and mel_cfg is not None
+                        and jax.process_index() == 0
+                    ):
+                        from passt_tpu.ops.frontend import log_mel_spectrogram
+
+                        out_dir = checkpoint_dir or "."
+                        # THE train step's own key derivation (steps.step_keys —
+                        # shared function, not a re-derivation) so the dump shows
+                        # the actual training augmentation even if the step's
+                        # split order is ever refactored
+                        from passt_tpu.train.steps import step_keys
+
+                        k_mel = step_keys(base_rng, host_step)[0]
+                        mel_img = np.asarray(
+                            log_mel_spectrogram(
+                                dev_batch["wave"], mel_cfg, rng=k_mel, train=True
+                            )
                         )
-                    )
-                    os.makedirs(out_dir, exist_ok=True)
-                    np.save(
-                        os.path.join(out_dir, f"spectrograms_step{host_step}.npy"),
-                        mel_img,
-                    )
-                state, metrics = train_step(state, dev_batch, base_rng)
-                host_step += 1
-                n_batches += 1
-                pending_loss = metrics["loss"]
-                if _prof_active and host_step >= profile_start_step + profile_num_steps:
-                    # sync once so the traced window's device activity is
-                    # fully captured before the trace closes
-                    jax.block_until_ready(pending_loss)
-                    jax.profiler.stop_trace()
-                    _prof_active = False
-                if (i + 1) % log_every_steps == 0:
-                    now = time.time()
-                    row = {"epoch": epoch, "step": int(state.step), "loss": float(pending_loss)}
-                    row["it_per_s"] = round(log_every_steps / max(now - t_window, 1e-9), 3)
-                    t_window = now
-                    for k, v in metrics.items():  # extra step metrics
-                        if k != "loss":           # (e.g. grad_norm)
-                            row[k] = float(v)
-                    if show_progress:
-                        print("\r\x1b[K", end="")  # clear the progress line
-                    logger.log(row)
-                    progress_tail = f"loss {row['loss']:.4f} {row['it_per_s']:.2f} it/s"
-                elif show_progress:
-                    total = len(train_loader) if hasattr(train_loader, "__len__") else "?"
-                    print(
-                        f"\repoch {epoch} [{i + 1}/{total}] "
-                        + (progress_tail if n_batches > log_every_steps else "warmup"),
-                        end="",
-                        flush=True,
-                    )
-        except KeyboardInterrupt:
-            # Mid-epoch state is NOT checkpointed: epoch checkpoints are the
-            # resume points (the per-epoch sampler reseed makes mid-epoch
-            # resume ill-defined, and orbax silently refuses saves at an id
-            # <= the latest anyway). The last completed epoch's checkpoint is
-            # already on disk.
-            interrupted = True
-            kept = None if ckpt_mgr is None else ckpt_mgr.latest_step()
-            print(
-                "interrupted: exiting cleanly "
-                + (f"(resume from epoch checkpoint {kept})" if kept is not None
-                   else "(no checkpoint_dir / no completed epoch)")
-            )
-            break
-
-        if show_progress:
-            print("\r\x1b[K", end="")
-        epoch_time = time.time() - t_epoch
-
-        record: Dict[str, float] = {
-            "epoch": epoch,
-            "step": int(state.step),
-            "epoch_time_s": round(epoch_time, 2),
-        }
-        if n_batches:
-            record["it_per_s"] = round(n_batches / max(epoch_time, 1e-9), 3)
-        if pending_loss is not None:
-            record["train_loss"] = float(pending_loss)
-        if lr_schedule is not None:
-            # the reference logs lr per epoch (LearningRateMonitor,
-            # ex_audioset.py:305; trainer/lr at :195)
-            record["lr"] = float(lr_schedule(int(state.step)))
-
-        # SWA (helpers/swa_callback.py semantics: the reference fires on
-        # train-epoch START with swa_start = swa_epoch_start - 1; end of
-        # epoch e here == start of epoch e+1 there, so cadence is exact).
-        if swa_epoch_start is not None:
-            if swa_state is None:
-                swa_state = swa_init(state.params, swa_epoch_start, swa_freq)
-            if swa_should_update(swa_state, epoch, max_epochs):
-                swa_state = swa_update(swa_state, state.params)
-                record["swa_n"] = swa_state.n_averaged
-
-        if val_loaders and (epoch + 1) % eval_every == 0:
-            for set_name, loader in val_loaders.items():
-                pre = f"{set_name}_" if (multi_val and set_name) else ""
-                em = evaluate(
-                    eval_step, state.params, loader, limit_eval_batches,
-                    single_label, masked, runtime=runtime,
+                        os.makedirs(out_dir, exist_ok=True)
+                        np.save(
+                            os.path.join(out_dir, f"spectrograms_step{host_step}.npy"),
+                            mel_img,
+                        )
+                    state, metrics = train_step(state, dev_batch, base_rng)
+                    host_step += 1
+                    n_batches += 1
+                    pending_loss = metrics["loss"]
+                    if _prof_active and host_step >= _prof_start + profile_num_steps:
+                        # sync once so the traced window's device activity is
+                        # fully captured before the trace closes
+                        jax.block_until_ready(pending_loss)
+                        jax.profiler.stop_trace()
+                        _prof_active = False
+                        _prof_done = True
+                    if (i + 1) % log_every_steps == 0:
+                        now = time.time()
+                        row = {"epoch": epoch, "step": int(state.step), "loss": float(pending_loss)}
+                        row["it_per_s"] = round(log_every_steps / max(now - t_window, 1e-9), 3)
+                        t_window = now
+                        for k, v in metrics.items():  # extra step metrics
+                            if k != "loss":           # (e.g. grad_norm)
+                                row[k] = float(v)
+                        if show_progress:
+                            print("\r\x1b[K", end="")  # clear the progress line
+                        logger.log(row)
+                        progress_tail = f"loss {row['loss']:.4f} {row['it_per_s']:.2f} it/s"
+                    elif show_progress:
+                        total = len(train_loader) if hasattr(train_loader, "__len__") else "?"
+                        print(
+                            f"\repoch {epoch} [{i + 1}/{total}] "
+                            + (progress_tail if n_batches > log_every_steps else "warmup"),
+                            end="",
+                            flush=True,
+                        )
+            except KeyboardInterrupt:
+                # Mid-epoch state is NOT checkpointed: epoch checkpoints are the
+                # resume points (the per-epoch sampler reseed makes mid-epoch
+                # resume ill-defined, and orbax silently refuses saves at an id
+                # <= the latest anyway). The last completed epoch's checkpoint is
+                # already on disk.
+                interrupted = True
+                kept = None if ckpt_mgr is None else ckpt_mgr.latest_step()
+                print(
+                    "interrupted: exiting cleanly "
+                    + (f"(resume from epoch checkpoint {kept})" if kept is not None
+                       else "(no checkpoint_dir / no completed epoch)")
                 )
-                record.update({f"{pre}{k}": v for k, v in em.items()})
-                if swa_state is not None and swa_state.n_averaged > 0:
-                    sm = evaluate(
-                        eval_step, swa_state.avg_params, loader, limit_eval_batches,
+                break
+
+            if show_progress:
+                print("\r\x1b[K", end="")
+            epoch_time = time.time() - t_epoch
+
+            record: Dict[str, float] = {
+                "epoch": epoch,
+                "step": int(state.step),
+                "epoch_time_s": round(epoch_time, 2),
+            }
+            if n_batches:
+                record["it_per_s"] = round(n_batches / max(epoch_time, 1e-9), 3)
+            if pending_loss is not None:
+                record["train_loss"] = float(pending_loss)
+            if lr_schedule is not None:
+                # the reference logs lr per epoch (LearningRateMonitor,
+                # ex_audioset.py:305; trainer/lr at :195)
+                record["lr"] = float(lr_schedule(int(state.step)))
+
+            # SWA (helpers/swa_callback.py semantics: the reference fires on
+            # train-epoch START with swa_start = swa_epoch_start - 1; end of
+            # epoch e here == start of epoch e+1 there, so cadence is exact).
+            if swa_epoch_start is not None:
+                if swa_state is None:
+                    swa_state = swa_init(state.params, swa_epoch_start, swa_freq)
+                if swa_should_update(swa_state, epoch, max_epochs):
+                    swa_state = swa_update(swa_state, state.params)
+                    record["swa_n"] = swa_state.n_averaged
+
+            if val_loaders and (epoch + 1) % eval_every == 0:
+                for set_name, loader in val_loaders.items():
+                    pre = f"{set_name}_" if (multi_val and set_name) else ""
+                    em = evaluate(
+                        eval_step, state.params, loader, limit_eval_batches,
                         single_label, masked, runtime=runtime,
                     )
-                    record.update({f"{pre}swa_{k}": v for k, v in sm.items()})
+                    record.update({f"{pre}{k}": v for k, v in em.items()})
+                    if swa_state is not None and swa_state.n_averaged > 0:
+                        sm = evaluate(
+                            eval_step, swa_state.avg_params, loader, limit_eval_batches,
+                            single_label, masked, runtime=runtime,
+                        )
+                        record.update({f"{pre}swa_{k}": v for k, v in sm.items()})
 
-        logger.log(record)
-        history.append(record)
+            logger.log(record)
+            history.append(record)
 
+            if ckpt_mgr is not None:
+                if monitor is not None and monitor not in record:
+                    # best-metric retention requires the metric: epochs that ran
+                    # no eval (eval_every gaps, empty val_loaders) are not
+                    # checkpointed — same cadence as the reference's
+                    # ModelCheckpoint, which saves on validation end.
+                    print(
+                        f"checkpoint skipped at epoch {epoch}: monitored metric "
+                        f"{monitor!r} not in this epoch's record (no eval ran)"
+                    )
+                else:
+                    payload = {"params": state.params, "opt_state": state.opt_state,
+                               "step": state.step}
+                    if swa_state is not None:
+                        payload["swa_params"] = swa_state.avg_params
+                        payload["swa_n"] = jnp.int32(swa_state.n_averaged)
+                    import orbax.checkpoint as ocp
+
+                    metrics_arg = None
+                    if monitor is not None:
+                        metrics_arg = {monitor: float(record[monitor])}
+                    ckpt_mgr.save(
+                        epoch, args=ocp.args.StandardSave(payload), metrics=metrics_arg
+                    )
+
+            if _stop_agreed(True):
+                # SIGTERM landed during eval/checkpoint: this epoch is complete
+                # and checkpointed — exit cleanly now. (Multi-process: the
+                # epoch boundary is a collective point, so the agreement
+                # all-gather is safe here and keeps every rank's decision
+                # identical even when SIGTERM delivery straddled the boundary.)
+                interrupted = True
+                print(f"preempted: exiting cleanly after completed epoch {epoch}")
+                break
+
+    finally:
+        if _prof_active:  # run ended inside the profile window
+            jax.profiler.stop_trace()
+        if profile_dir and not _prof_done and not _prof_active and jax.process_index() == 0:
+            print(
+                f"trainer.profile_dir was set but the profile window never "
+                f"fired (run ended before step {profile_start_step})"
+            )
+        if _prev_sigterm is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, _prev_sigterm)
         if ckpt_mgr is not None:
-            if monitor is not None and monitor not in record:
-                # best-metric retention requires the metric: epochs that ran
-                # no eval (eval_every gaps, empty val_loaders) are not
-                # checkpointed — same cadence as the reference's
-                # ModelCheckpoint, which saves on validation end.
-                print(
-                    f"checkpoint skipped at epoch {epoch}: monitored metric "
-                    f"{monitor!r} not in this epoch's record (no eval ran)"
-                )
-            else:
-                payload = {"params": state.params, "opt_state": state.opt_state,
-                           "step": state.step}
-                if swa_state is not None:
-                    payload["swa_params"] = swa_state.avg_params
-                    payload["swa_n"] = jnp.int32(swa_state.n_averaged)
-                import orbax.checkpoint as ocp
-
-                metrics_arg = None
-                if monitor is not None:
-                    metrics_arg = {monitor: float(record[monitor])}
-                ckpt_mgr.save(
-                    epoch, args=ocp.args.StandardSave(payload), metrics=metrics_arg
-                )
-
-        if _stop["sig"] is not None:
-            # SIGTERM landed during eval/checkpoint: this epoch is complete
-            # and checkpointed — exit cleanly now.
-            interrupted = True
-            print(f"preempted: exiting cleanly after completed epoch {epoch}")
-            break
-
-    if _prof_active:  # run ended inside the profile window
-        jax.profiler.stop_trace()
-    if _prev_sigterm is not None:
-        import signal
-
-        signal.signal(signal.SIGTERM, _prev_sigterm)
-    if ckpt_mgr is not None:
-        ckpt_mgr.wait_until_finished()
+            ckpt_mgr.wait_until_finished()
     return FitResult(
         state=state, swa=swa_state, history=history, interrupted=interrupted
     )

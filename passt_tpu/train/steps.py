@@ -123,6 +123,18 @@ def create_train_state(
     return model, state
 
 
+def step_keys(rng: jax.Array, step) -> tuple:
+    """The per-step PRNG key derivation used by the train step:
+    ``(k_mel, k_mix, k_patch, k_drop, k_dpath) = split(fold_in(rng, step), 5)``.
+
+    This is THE single source of truth — the training loop's spectrogram
+    dump (loop.py dump_spectrograms) consumes the same function so a
+    refactor of the split order can never silently desynchronize the
+    dumped mel images from the actual training augmentation
+    (reference wandb spectrogram logging, ex_audioset.py:161-167)."""
+    return tuple(jax.random.split(jax.random.fold_in(rng, step), 5))
+
+
 LOSS_FNS: Dict[str, Callable] = {
     "multilabel": L.multilabel_loss,  # AudioSet / FSD50K
     "single_label": L.single_label_mixup_loss,  # ESC-50
@@ -155,8 +167,7 @@ def make_train_step(
     tdim = input_tdim if input_tdim is not None else model.cfg.input_tdim
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
-        step_key = jax.random.fold_in(rng, state.step)
-        k_mel, k_mix, k_patch, k_drop, k_dpath = jax.random.split(step_key, 5)
+        k_mel, k_mix, k_patch, k_drop, k_dpath = step_keys(rng, state.step)
 
         if "mel" in batch:
             x = batch["mel"]

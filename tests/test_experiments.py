@@ -57,6 +57,12 @@ def test_default_configs_match_reference_recipes():
     o = EXPERIMENTS["openmic"].default_config
     assert o.data.batch_size == 6 and o.trainer.loss_type == "masked"
     assert o.data.merge_mask_wavmix
+    # model_speed_test default batch is per-recipe: 12 for audioset/openmic
+    # (ex_audioset.py:365), 100 for the fine-tune recipes (ex_esc50.py:281)
+    assert EXPERIMENTS["audioset"].speed_test_batch_size == 12
+    assert EXPERIMENTS["openmic"].speed_test_batch_size == 12
+    assert EXPERIMENTS["esc50"].speed_test_batch_size == 100
+    assert EXPERIMENTS["fsd50k"].speed_test_batch_size == 100
 
 
 def _make_synth(tmp_path, rng_np, n=24, classes=8, single_label=False, with_mask=False):

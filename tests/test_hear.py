@@ -35,16 +35,35 @@ def test_waveform_to_logits(tiny_predictor, rng_np):
 
 def test_scene_embeddings(tiny_predictor, rng_np):
     wave = rng_np.standard_normal((2, 32000)).astype(np.float32)
-    emb = tiny_predictor.scene_embeddings(wave)
-    assert emb.shape == (2, 64)
     logits, feats = tiny_predictor.logits_and_features(wave)
-    np.testing.assert_array_equal(np.asarray(emb), np.asarray(feats))
+    # default mode="all": logits ‖ features — the hear21passt ecosystem's
+    # 1295-d scene-embedding contract (527 + 768 at flagship geometry;
+    # 527 + 64 for this tiny net). reference README.md:48-65.
+    emb = tiny_predictor.scene_embeddings(wave)
+    assert emb.shape == (2, 527 + 64)
+    np.testing.assert_array_equal(
+        np.asarray(emb), np.concatenate([np.asarray(logits), np.asarray(feats)], -1)
+    )
+    # explicit modes
+    emb_f = tiny_predictor.scene_embeddings(wave, mode="embed_only")
+    assert emb_f.shape == (2, 64)
+    np.testing.assert_array_equal(np.asarray(emb_f), np.asarray(feats))
+    emb_l = tiny_predictor.scene_embeddings(wave, mode="logits")
+    np.testing.assert_array_equal(np.asarray(emb_l), np.asarray(logits))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown embedding mode"):
+        tiny_predictor.scene_embeddings(wave, mode="nope")
 
 
 def test_timestamp_embeddings(tiny_predictor, rng_np):
     wave = rng_np.standard_normal((1, 32000)).astype(np.float32)
     emb, ts = tiny_predictor.timestamp_embeddings(wave, window_seconds=0.5, hop_seconds=0.25)
-    assert emb.shape[0] == 1 and emb.shape[2] == 64
+    assert emb.shape[0] == 1 and emb.shape[2] == 527 + 64  # mode="all"
+    emb_f, _ = tiny_predictor.timestamp_embeddings(
+        wave, window_seconds=0.5, hop_seconds=0.25, mode="embed_only"
+    )
+    assert emb_f.shape[2] == 64
     assert emb.shape[1] == len(ts)
     ts = np.asarray(ts)
     assert (np.diff(ts) > 0).all()  # monotonically increasing, in ms
@@ -61,13 +80,16 @@ def test_hear_module_entry_points(rng_np):
     old = registry.ARCHS["passt_s_swa_p16_128_ap476"]
     registry.ARCHS["passt_s_swa_p16_128_ap476"] = tiny
     try:
-        m = hear.load_model(dtype="float32", input_tdim=98)
+        # load_model(mode=...) mirrors hear21passt get_basic_model(mode=...)
+        m = hear.load_model(dtype="float32", input_tdim=98, mode="embed_only")
         wave = rng_np.standard_normal((2, 32000)).astype(np.float32)
         emb = hear.get_scene_embeddings(wave, m)
         assert emb.shape == (2, 64)
         ts_emb, ts = hear.get_timestamp_embeddings(wave, m)
         assert ts_emb.shape[0] == 2 and ts_emb.shape[2] == 64
         assert ts_emb.shape[1] == len(ts)
+        m_all = hear.load_model(dtype="float32", input_tdim=98)
+        assert hear.get_scene_embeddings(wave, m_all).shape == (2, 527 + 64)
     finally:
         registry.ARCHS["passt_s_swa_p16_128_ap476"] = old
 
