@@ -160,6 +160,94 @@ def _stop_live_prefetchers() -> None:
             pass
 
 
+class DeviceFeed:
+    """Host->device transfer pipelining: a background thread converts and
+    ``device_put``s batch k+1 while the main thread's step k computes.
+
+    Measured motivation (scripts/ab_fit_gap.py, real chip): the production
+    fit() loop ran at 30.4 specs/s vs 422.4 for the identical per-dispatch
+    step on a device-resident batch — the entire gap is the synchronous
+    15.36 MB wave transfer (~355 ms at the tunnel's ~43 MB/s), which used
+    to serialize with the 28.4 ms step. With the transfer on its own
+    thread the steady state becomes max(transfer, compute, load) instead
+    of their sum. (The reference gets the same overlap from torch
+    DataLoader pin_memory + CUDA async H2D; this is the explicit
+    TPU-native equivalent.)
+
+    ``convert`` maps a host batch to its device form (dtype casts +
+    device_put / mesh sharding). jnp.asarray releases the GIL during the
+    copy, so the overlap is real even with Python threads.
+    """
+
+    _DONE = object()
+
+    def __init__(self, iterator, convert: Callable, depth: int = 2):
+        self._inner = iterator
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.error: Optional[BaseException] = None
+        self._stopped = False
+
+        def worker():
+            try:
+                for item in iterator:
+                    dev = convert(item)
+                    while not self._stopped:
+                        try:
+                            self.q.put(dev, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stopped:
+                        return
+            except BaseException as e:
+                self.error = e
+            finally:
+                while not self._stopped:
+                    try:
+                        self.q.put(self._DONE, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+        self.thread = threading.Thread(
+            target=worker, daemon=True, name="device-feed"
+        )
+        self.thread.start()
+        _LIVE_PREFETCHERS.add(self)
+
+    def stop(self) -> None:
+        """Release the feed thread AND the wrapped host iterator."""
+        self._stopped = True
+        while True:
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
+        if hasattr(self._inner, "stop"):
+            self._inner.stop()
+        self.thread.join(timeout=5.0)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while True:
+            try:
+                item = self.q.get(timeout=5.0)
+                break
+            except queue.Empty:
+                if not self.thread.is_alive():
+                    if self.error is not None:
+                        raise self.error
+                    raise StopIteration
+        if item is self._DONE:
+            self.thread.join(timeout=5.0)
+            if self.error is not None:
+                raise self.error
+            raise StopIteration
+        return item
+
+
 class Prefetcher:
     """Background-thread prefetch with a bounded queue.
 

@@ -461,6 +461,8 @@ class Experiment:
             profile_dir=cfg.trainer.profile_dir,
             profile_start_step=cfg.trainer.profile_start_step,
             profile_num_steps=cfg.trainer.profile_num_steps,
+            device_prefetch=cfg.trainer.device_prefetch,
+            transfer_dtype=cfg.trainer.transfer_dtype,
             single_label=self.single_label,
             masked=cfg.trainer.loss_type == "masked",
             swa_restore=swa_restore,

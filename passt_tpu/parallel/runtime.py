@@ -52,11 +52,69 @@ class MeshRuntime:
 
         return self.mesh.shape[MODEL_AXIS]
 
+    # -- multi-process ---------------------------------------------------
+    @property
+    def spans_processes(self) -> bool:
+        """True when the mesh crosses JAX processes (real multi-host /
+        multi-process runs, reference DDP's N-GPU fork). Host arrays must
+        then be assembled into global jax.Arrays from per-process shards
+        (``jax.make_array_from_process_local_data``) instead of a plain
+        ``device_put`` — each process only holds ITS slice of the batch
+        (rank-sliced sampler, data/sampler.py)."""
+        return jax.process_count() > 1
+
+    def local_replica(self, tree):
+        """This process's addressable copy of a replicated (pure-DP) tree —
+        used by evaluate() in multi-process runs: each rank evals its OWN
+        loader shard locally (lockstep mesh eval would require identical
+        per-rank batch counts, which rank-sliced eval sets don't have),
+        then the host gather merges (reference DDP all_gather before
+        'allap', ex_audioset.py:274-285)."""
+        if self.n_model > 1 and self.spans_processes:
+            raise NotImplementedError(
+                "local eval of TP-sharded params across processes; keep the "
+                "model axis within one process (n_model <= devices/host)"
+            )
+        return jax.tree.map(
+            lambda p: p.addressable_data(0) if isinstance(p, jax.Array) else p,
+            tree,
+        )
+
+    def ensure_global(self, x):
+        """Make a leaf safe for a COLLECTIVE orbax save in multi-process
+        runs: orbax refuses host-local jax.Arrays there (e.g. the ``swa_n``
+        scalar built with ``jnp.int32`` outside the sharded step). Such
+        leaves are replicated identically on every rank, so assemble them
+        into a process-spanning replicated global array; already-global
+        (non-fully-addressable) leaves pass through untouched."""
+        if isinstance(x, jax.Array) and not x.sharding.is_fully_addressable:
+            return x
+        rep = NamedSharding(self.mesh, P())
+        return jax.make_array_from_process_local_data(rep, np.asarray(x))
+
     # -- state ----------------------------------------------------------
     def shard_state(self, state):
         """Params + opt_state per the TP rules (replicated on a pure-DP
         mesh), step replicated. shard_params matches TP rules on path
         suffixes, so AdamW's mu/nu shard exactly like their params."""
+        if self.spans_processes:
+            if self.n_model > 1:
+                raise NotImplementedError(
+                    "TP sharding across processes (shard_params would need "
+                    "per-process slicing); keep the model axis within a host"
+                )
+            # pure DP: every leaf is replicated and every process holds the
+            # identical full value (same PRNGKey init), so local == global
+            rep = NamedSharding(self.mesh, P())
+
+            def put(x):
+                return jax.make_array_from_process_local_data(rep, np.asarray(x))
+
+            return state.replace(
+                params=jax.tree.map(put, state.params),
+                opt_state=jax.tree.map(put, state.opt_state),
+                step=put(state.step),
+            )
         return state.replace(
             params=shard_params(state.params, self.mesh),
             opt_state=shard_params(state.opt_state, self.mesh),
@@ -65,9 +123,16 @@ class MeshRuntime:
 
     # -- batches --------------------------------------------------------
     def device_put(self, x):
-        """Shard a host batch array along its leading axis over ``data``."""
+        """Shard a host batch array along its leading axis over ``data``.
+
+        Multi-process: ``x`` is this process's LOCAL shard (the rank-sliced
+        loader's batch); the global array is assembled across processes,
+        global batch = sum of the per-rank batches in process-id order."""
         x = np.asarray(x)
-        return jax.device_put(x, NamedSharding(self.mesh, P(DATA_AXIS)))
+        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        if self.spans_processes:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
 
     def pad_eval_batch(
         self, arrays: Dict[str, np.ndarray]

@@ -157,6 +157,15 @@ def evaluate(
     each batch over the mesh's data axis, padding ragged tails and trimming
     the padded rows back off the outputs. val_loss is the mean of
     per-example losses, so tail batches are weighted correctly."""
+    if runtime is not None and runtime.spans_processes:
+        # Multi-process: lockstep mesh eval would require identical per-rank
+        # batch counts, which rank-sliced eval sets don't have (7 vs 5
+        # examples). Pure-DP params are replicated, so each rank evals its
+        # OWN loader shard on its local devices; _gather_across_processes
+        # below merges — the reference's DDP eval shape
+        # (ex_audioset.py:274-285).
+        params = runtime.local_replica(params)
+        runtime = None
     outs: List[np.ndarray] = []
     targets: List[np.ndarray] = []
     losses: List[np.ndarray] = []
@@ -276,10 +285,42 @@ def fit(
     profile_dir: Optional[str] = None,
     profile_start_step: int = 10,
     profile_num_steps: int = 5,
+    device_prefetch: int = 2,
+    transfer_dtype: str = "float32",
 ) -> FitResult:
     logger = logger or MetricsLogger()
     if runtime is not None and device_put is jnp.asarray:
         device_put = runtime.device_put
+
+    # Host batch -> device batch. Runs on the DeviceFeed thread when
+    # device_prefetch > 0 so the wave transfer overlaps the previous step's
+    # compute (the reference's pin_memory + async CUDA H2D, made explicit).
+    if transfer_dtype not in ("float32", "int16"):
+        raise ValueError(
+            f"transfer_dtype must be 'float32' or 'int16', got {transfer_dtype!r}"
+        )
+    _dequant = None
+    if transfer_dtype == "int16":
+        # scale 32768 with symmetric clip: values from int16 containers
+        # (|w| <= 32767/32768) round-trip exactly; post-augment values are
+        # re-quantized with error <= 2^-16 full scale
+        _dequant = jax.jit(lambda q: q.astype(jnp.float32) * (1.0 / 32768.0))
+
+    def _to_device(batch) -> Dict[str, Any]:
+        wave = batch["wave"]
+        if _dequant is not None:
+            q = np.multiply(np.asarray(wave, np.float32), 32768.0)
+            np.rint(q, out=q)
+            np.clip(q, -32768.0, 32767.0, out=q)
+            dev_wave = _dequant(device_put(q.astype(np.int16)))
+        else:
+            dev_wave = device_put(wave)
+        return {
+            "wave": dev_wave,
+            "target": device_put(
+                batch["target"].astype(np.int32 if single_label else np.float32)
+            ),
+        }
     # One loader -> unprefixed metrics (reference ex_audioset); several ->
     # every set's metrics carry a "{name}_" prefix, exactly like the
     # reference's FSD50K dual validation (ex_fsd50k.py:220-260 logs
@@ -413,6 +454,10 @@ def fit(
             try:
                 train_loader.set_epoch(epoch)
                 train_it = iter(train_loader)
+                if device_prefetch > 0:
+                    from passt_tpu.data.pipeline import DeviceFeed
+
+                    train_it = DeviceFeed(train_it, _to_device, depth=device_prefetch)
                 for i, batch in enumerate(train_it):
                     if _stop_agreed(i % log_every_steps == 0):
                         if hasattr(train_it, "stop"):
@@ -432,12 +477,9 @@ def fit(
                         jax.profiler.start_trace(profile_dir)
                         _prof_active = True
                         _prof_start = host_step
-                    dev_batch = {
-                        "wave": device_put(batch["wave"]),
-                        "target": device_put(
-                            batch["target"].astype(np.int32 if single_label else np.float32)
-                        ),
-                    }
+                    # batches from a DeviceFeed arrive already on device;
+                    # inline conversion is the device_prefetch=0 fallback
+                    dev_batch = batch if device_prefetch > 0 else _to_device(batch)
                     # Visual sanity dump of the *augmented* training input
                     # (reference wandb spectrogram images, ex_audioset.py:161-167,
                     # gated on the global step like the reference so resume does
@@ -577,6 +619,10 @@ def fit(
                     if swa_state is not None:
                         payload["swa_params"] = swa_state.avg_params
                         payload["swa_n"] = jnp.int32(swa_state.n_averaged)
+                    if runtime is not None and runtime.spans_processes:
+                        # collective orbax saves reject host-local leaves
+                        # (the swa_n scalar above); replicate them globally
+                        payload = jax.tree.map(runtime.ensure_global, payload)
                     import orbax.checkpoint as ocp
 
                     metrics_arg = None
@@ -652,7 +698,22 @@ def restore_checkpoint(
     base = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
     with_swa = dict(base)
     with_swa["swa_params"] = jax.tree.map(lambda x: x, state.params)
-    with_swa["swa_n"] = jnp.int32(0)
+    swa_n_tmpl = jnp.int32(0)
+    if jax.process_count() > 1:
+        # collective restore: template leaves must be GLOBAL like the saved
+        # arrays (fit() replicated swa_n across processes on save)
+        leaves = [
+            l for l in jax.tree.leaves(state.params)
+            if isinstance(l, jax.Array) and not l.sharding.is_fully_addressable
+        ]
+        if leaves:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(leaves[0].sharding.mesh, PartitionSpec())
+            swa_n_tmpl = jax.make_array_from_process_local_data(
+                rep, np.asarray(0, np.int32)
+            )
+    with_swa["swa_n"] = swa_n_tmpl
     try:
         restored = mgr.restore(epoch, args=ocp.args.StandardRestore(with_swa))
     except (ValueError, KeyError):

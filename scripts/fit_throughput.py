@@ -66,6 +66,19 @@ def main() -> None:
     ap.add_argument("--reuse", action="store_true", help="reuse an existing container")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of steps 60..75")
+    ap.add_argument("--transfer-dtype", default=None, choices=["float32", "int16"],
+                    help="override trainer.transfer_dtype (int16 halves "
+                         "host->device bytes; see config.py)")
+    ap.add_argument("--device-prefetch", type=int, default=None,
+                    help="override trainer.device_prefetch (0 = inline "
+                         "synchronous device_put)")
+    ap.add_argument("--no-checkpoint", action="store_true",
+                    help="disable orbax saves: on the axon tunnel the "
+                         "per-epoch ASYNC save pulls ~700 MB of params+"
+                         "moments d2h at ~30 MB/s, saturating the shared "
+                         "link ~20 s into the next epoch's steps — a real "
+                         "cost worth reporting, but not part of the "
+                         "steady-state step rate")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -102,11 +115,16 @@ def main() -> None:
         trainer=dataclasses.replace(
             cfg.trainer,
             max_epochs=args.epochs,
-            checkpoint_dir=os.path.join(args.workdir, "ckpt"),
+            checkpoint_dir=(None if args.no_checkpoint
+                            else os.path.join(args.workdir, "ckpt")),
             limit_eval_batches=2,  # eval path exercised, not measured
             profile_dir=os.path.join(args.workdir, "trace") if args.profile else None,
             profile_start_step=60,
             profile_num_steps=15,
+            **({"transfer_dtype": args.transfer_dtype}
+               if args.transfer_dtype is not None else {}),
+            **({"device_prefetch": args.device_prefetch}
+               if args.device_prefetch is not None else {}),
         ),
     )
     print(f"devices: {jax.devices()}  steps/epoch: {args.steps}  B: {args.batch_size}")
@@ -128,6 +146,9 @@ def main() -> None:
         "batch_size": args.batch_size,
         "wall_s_total": round(wall, 1),
         "vs_in_jit_bench": round(specs / bench, 4),
+        "device_prefetch": cfg.trainer.device_prefetch,
+        "transfer_dtype": cfg.trainer.transfer_dtype,
+        "checkpointing": not args.no_checkpoint,
     }
     print(json.dumps(out))
 

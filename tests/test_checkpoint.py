@@ -467,3 +467,113 @@ def test_profiler_fires_on_resumed_run(tmp_path, rng_np):
     )
     traced = list(prof.rglob("*.xplane.pb"))
     assert traced, f"no trace files under {prof} (window never fired on resume)"
+
+@pytest.mark.slow
+def test_device_feed_bitwise_matches_inline(tmp_path, rng_np):
+    """device_prefetch only changes WHERE the transfer happens (feed thread
+    vs inline) — params and losses must be bitwise identical."""
+    cfg, tx, model, state0, step, ev, batches = _setup(rng_np)
+
+    def run(device_prefetch):
+        _, st = _setup(rng_np)[2:4]  # fresh identical init (same PRNGKey)
+        res = fit(
+            train_step=step,
+            eval_step=ev,
+            state=st,
+            train_loader=_ListLoader(batches),
+            max_epochs=2,
+            base_rng=jax.random.PRNGKey(1),
+            logger=MetricsLogger(quiet=True),
+            device_prefetch=device_prefetch,
+        )
+        return res
+
+    a, b = run(0), run(2)
+    for x, y in zip(jax.tree.leaves(a.state.params), jax.tree.leaves(b.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert [r.get("train_loss") for r in a.history] == [
+        r.get("train_loss") for r in b.history
+    ]
+
+
+@pytest.mark.slow
+def test_transfer_dtype_int16(rng_np):
+    """transfer_dtype='int16' ships the wave as int16 PCM and dequantizes
+    on device: values from int16 containers round-trip exactly; arbitrary
+    floats land within 2^-16 full scale. Training must run and produce
+    finite, close-to-float32 losses."""
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    # container-representable values: exact round-trip through the path
+    w16 = (rng_np.integers(-32768, 32768, size=(4, 16000)).astype(np.float32)
+           / 32768.0)
+    exact_batches = [dict(batches[0], wave=w16)]
+    res = fit(
+        train_step=step,
+        eval_step=ev,
+        state=state,
+        train_loader=_ListLoader(exact_batches + batches),
+        max_epochs=1,
+        base_rng=jax.random.PRNGKey(1),
+        logger=MetricsLogger(quiet=True),
+        transfer_dtype="int16",
+    )
+    assert np.isfinite(res.history[0]["train_loss"])
+
+    # the dequantized device wave equals the host wave for int16-grid values
+    import jax.numpy as jnp
+
+    q = np.clip(np.rint(w16 * 32768.0), -32768, 32767).astype(np.int16)
+    back = np.asarray(jnp.asarray(q).astype(jnp.float32) / 32768.0)
+    np.testing.assert_array_equal(back, w16)
+    # arbitrary floats: bounded quantization error
+    w = rng_np.uniform(-1, 1, size=(2, 1000)).astype(np.float32)
+    q2 = np.clip(np.rint(w * 32768.0), -32768, 32767).astype(np.int16)
+    err = np.abs(q2.astype(np.float32) / 32768.0 - w).max()
+    assert err <= 1.0 / 65536.0 + 1e-7
+
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        fit(
+            train_step=step, eval_step=ev, state=res.state,
+            train_loader=_ListLoader(batches), max_epochs=1,
+            base_rng=jax.random.PRNGKey(1), logger=MetricsLogger(quiet=True),
+            transfer_dtype="int8",
+        )
+
+
+def test_device_feed_stop_and_error_propagation():
+    """DeviceFeed.stop() releases the feed thread and the wrapped iterator;
+    an exception in the conversion propagates to the consumer."""
+    from passt_tpu.data.pipeline import DeviceFeed
+
+    class _Inner:
+        def __init__(self):
+            self.stopped = False
+            self._it = iter(range(100))
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            return next(self._it)
+
+        def stop(self):
+            self.stopped = True
+
+    inner = _Inner()
+    feed = DeviceFeed(inner, lambda x: x * 2, depth=2)
+    assert next(feed) == 0 and next(feed) == 2
+    feed.stop()
+    assert inner.stopped
+    assert not feed.thread.is_alive()
+
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("convert failed")
+        return x
+
+    feed2 = DeviceFeed(iter(range(10)), boom, depth=2)
+    got = []
+    with pytest.raises(RuntimeError, match="convert failed"):
+        for v in feed2:
+            got.append(v)
+    assert got == [0, 1, 2]
