@@ -47,10 +47,19 @@ def load_space(pb_path: str):
 
 
 def plane_event_totals(plane):
-    """name -> (total_ps, count) over all lines of a plane."""
+    """name -> (total_ps, count) over the plane's sync-op line.
+
+    A TPU device plane nests several views of the same wall time: 'Steps'
+    (one span per step), 'XLA Modules' (one span per executable), 'XLA Ops'
+    (every synchronous HLO op, sums to the step), and 'Async XLA Ops'
+    (async-start/done spans that OVERLAP the sync ops — summing those
+    double-counts hidden DMA time as if it were serial). Only 'XLA Ops'
+    partitions the step, so use it when present; fall back to all lines for
+    non-TPU planes."""
     meta = plane.event_metadata
+    lines = [l for l in plane.lines if l.name == "XLA Ops"] or plane.lines
     totals = collections.defaultdict(lambda: [0, 0])
-    for line in plane.lines:
+    for line in lines:
         for ev in line.events:
             name = meta[ev.metadata_id].name if ev.metadata_id in meta else f"id{ev.metadata_id}"
             t = totals[name]
@@ -88,11 +97,27 @@ def classify(name: str) -> str:
     return "other"
 
 
+def family(name: str) -> str:
+    """Collapse '%attn.43 = bf16[12,474,2304]... custom-call(...)' to
+    'attn bf16[12,474,2304]' so the 12 per-block instances of each fusion
+    aggregate to one row."""
+    import re
+
+    m = re.match(r"%([A-Za-z_\-]+)[\d.]*\s*=\s*(\(?\s*[a-z0-9]+\[[^\]]*\])?", name)
+    if not m:
+        return name[:60]
+    base, shape = m.group(1), (m.group(2) or "").replace(" ", "")
+    return f"{base} {shape}".strip()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("path", help="profile dir (searched recursively) or xplane.pb")
     ap.add_argument("--steps", type=int, default=1, help="steps in the window")
     ap.add_argument("--min-ms", type=float, default=0.05, help="per-step cutoff")
+    ap.add_argument("--group", action="store_true",
+                    help="aggregate per-block fusion instances into families "
+                         "(op base name + output shape)")
     ap.add_argument("--json", default=None, help="also write the table as JSON")
     args = ap.parse_args()
 
@@ -106,6 +131,13 @@ def main() -> None:
         sys.exit(1)
 
     totals = plane_event_totals(plane)
+    if args.group:
+        grouped = collections.defaultdict(lambda: [0, 0])
+        for name, (ps, count) in totals.items():
+            g = grouped[(family(name), classify(name))]
+            g[0] += ps
+            g[1] += count
+        totals = {name: v for (name, _), v in grouped.items()}
     rows = []
     for name, (ps, count) in totals.items():
         ms_per_step = ps / 1e9 / args.steps
