@@ -333,6 +333,7 @@ class Experiment:
                     "(no network in this environment)"
                 )
             params = load_pretrained_params(cfg.model.checkpoint_path, pcfg, params)
+            print(f"loaded pretrained checkpoint: {cfg.model.checkpoint_path}")
         state = TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
         if not make_steps:
             if runtime is not None:
@@ -481,12 +482,48 @@ class Experiment:
     def evaluate_only(self, cfg: ExperimentConfig) -> Dict:
         """Evaluate a (pretrained) model (ex_audioset.py:430-441) — the
         de-facto mAP-parity regression harness. Honors trainer.n_data /
-        n_model (eval batches sharded over the mesh)."""
+        n_model (eval batches sharded over the mesh).
+
+        With ``trainer.checkpoint_dir`` set and populated, restores the
+        TRAINED checkpoint first — best-by-``trainer.monitor`` when set,
+        else latest — so the command closes the train→evaluate loop the
+        reference closes by pointing evaluate_only at a trained .ckpt.
+        When the restored checkpoint carries SWA weights, the averaged
+        model is evaluated too (``swa_``-prefixed metrics — the model the
+        ESC-50/FSD50K protocols actually report)."""
         from passt_tpu.parallel.runtime import maybe_mesh_runtime
 
         runtime = maybe_mesh_runtime(cfg.trainer)
         model, state, _, eval_step, _ = self.build(cfg, runtime=runtime)
         val_loader = build_eval_loader(cfg)
+        swa_params = None
+        if cfg.trainer.checkpoint_dir:
+            from passt_tpu.train.loop import restore_checkpoint
+
+            monitor = self._resolve_monitor(
+                cfg.trainer.monitor, {"eval": val_loader}
+            )
+            try:
+                state, swa_restore, epoch = restore_checkpoint(
+                    cfg.trainer.checkpoint_dir,
+                    state,
+                    monitor=monitor,
+                    monitor_mode=cfg.trainer.monitor_mode,
+                )
+                which = (
+                    f"best by {monitor!r}" if monitor is not None else "latest"
+                )
+                print(
+                    f"evaluate_only: restored {which} checkpoint "
+                    f"(epoch {epoch}) from {cfg.trainer.checkpoint_dir}"
+                )
+                if swa_restore is not None and swa_restore[1] > 0:
+                    swa_params = swa_restore[0]
+            except FileNotFoundError:
+                print(
+                    f"evaluate_only: no checkpoint in "
+                    f"{cfg.trainer.checkpoint_dir}; evaluating the built model"
+                )
         metrics = evaluate(
             eval_step,
             state.params,
@@ -496,6 +533,17 @@ class Experiment:
             cfg.trainer.loss_type == "masked",
             runtime=runtime,
         )
+        if swa_params is not None:
+            sm = evaluate(
+                eval_step,
+                swa_params,
+                val_loader,
+                cfg.trainer.limit_eval_batches,
+                self.single_label,
+                cfg.trainer.loss_type == "masked",
+                runtime=runtime,
+            )
+            metrics.update({f"swa_{k}": v for k, v in sm.items()})
         print({"validation": metrics})
         return metrics
 

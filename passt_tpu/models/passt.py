@@ -321,7 +321,8 @@ class Attention(nn.Module):
         fused_ok = self.fused and not (train and self.attn_drop > 0.0)
         itemsize = jnp.dtype(self.dtype).itemsize
         if fused_ok and flat_kernel_supports(
-            n, self.num_heads, head_dim, backward=train, itemsize=itemsize
+            n, self.num_heads, head_dim, backward=train, itemsize=itemsize,
+            batch=b,
         ):
             out = fused_attention_qkv(
                 qkv_flat, heads=self.num_heads, head_dim=head_dim,

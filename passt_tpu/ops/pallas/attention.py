@@ -85,8 +85,24 @@ def kernel_supports(n: int, head_dim: int, *, backward: bool) -> bool:
     return head_dim <= 128 and n <= (_MAX_N_BWD if backward else _MAX_N_FWD)
 
 
+# In a forward-only (eval) graph XLA may pin the flat kernel's WHOLE output
+# in scoped VMEM ("allocating on stack", 16 MiB limit) to feed the fused
+# proj-Dense without an HBM round trip — a placement it never makes in the
+# train graph (the 25 MB dqkv at B=12/N=474 trains fine). Measured frontier:
+# B=12, N=474 eval/train ok (8.9 MiB padded out); B=20, N=590 eval OOMs
+# (19.5 MiB vs the 16 MiB scoped limit). Gate the forward selection on the
+# padded output residence with margin.
+_FLAT_FWD_OUT_BUDGET = 14 * 1024 * 1024
+
+
 def flat_kernel_supports(
-    n: int, heads: int, head_dim: int, *, backward: bool, itemsize: int = 2
+    n: int,
+    heads: int,
+    head_dim: int,
+    *,
+    backward: bool,
+    itemsize: int = 2,
+    batch: "Optional[int]" = None,
 ) -> bool:
     """True iff the flat qkv-boundary kernel (:func:`fused_attention_qkv`)
     fits this geometry in VMEM.
@@ -95,13 +111,25 @@ def flat_kernel_supports(
     dqkv [N, 3C] out — double-buffered by the Pallas pipeline, plus the
     per-head fp32 [N, N] score intermediates (one live in the forward,
     ~three in the backward). Lane slicing needs ``head_dim`` to be a
-    multiple of 8 (sublane grain) and at most one lane tile."""
+    multiple of 8 (sublane grain) and at most one lane tile. With ``batch``
+    given, forward selection additionally requires the full [B, N, C]
+    output to fit the scoped-VMEM placement XLA makes in eval graphs (see
+    ``_FLAT_FWD_OUT_BUDGET``)."""
     if head_dim > 128 or head_dim % 8 != 0:
         return False
     budget = _FLAT_VMEM_BUDGET.get((backward, itemsize))
     if budget is None:  # exotic dtype width: stay on the proven kernels
         return False
     c = heads * head_dim
+    if not backward and batch is not None:
+        try:
+            b = int(batch)
+        except TypeError:
+            b = None  # symbolic batch dim (jax.export): keep prior behavior
+        if b is not None:
+            n_pad = -(-n // 8) * 8  # sublane padding of the [B, N, C] tile
+            if b * n_pad * c * itemsize > _FLAT_FWD_OUT_BUDGET:
+                return False
     if backward:
         blocks = 2 * n * (3 * c + c + 3 * c) * itemsize
         scores = 3 * n * n * 4

@@ -221,6 +221,51 @@ def test_fsd50k_dual_validation_per_epoch(tmp_path, rng_np, monkeypatch):
     assert "ap" not in last  # multi-set: every metric is prefixed
 
 
+@pytest.mark.slow
+def test_evaluate_only_restores_best_checkpoint(tmp_path, rng_np, monkeypatch, capsys):
+    """evaluate_only with trainer.checkpoint_dir restores the retained-BEST
+    checkpoint (by trainer.monitor) and reports the SAME metric the training
+    run logged for that epoch, plus swa_-prefixed metrics when the
+    checkpoint carries SWA weights — the rehearsal chain's final link
+    (scripts/finetune_rehearsal.py; reference ESC-50 protocol evaluates the
+    picked-best SWA model, esc50/README.md)."""
+    import passt_tpu.models.registry as registry
+
+    exp = EXPERIMENTS["esc50"]
+    path = _make_synth(tmp_path, rng_np, classes=50, single_label=True)
+    cfg = _shrink(exp.default_config, path, 50)
+    cfg = apply_overrides(
+        cfg,
+        {
+            "trainer.checkpoint_dir": str(tmp_path / "ckpt"),
+            "trainer.monitor": "accuracy",
+            "trainer.max_epochs": "3",
+            "trainer.limit_eval_batches": "null",
+        },
+    )
+    spec = registry.ARCHS[cfg.model.arch]
+    monkeypatch.setitem(
+        registry.ARCHS, cfg.model.arch,
+        dataclasses.replace(spec, depth=2, embed_dim=64, num_heads=4),
+    )
+    hist = exp.main(cfg)["history"]
+    accs = {h["epoch"]: h["accuracy"] for h in hist}
+    best_epoch = max(accs, key=accs.get)
+
+    capsys.readouterr()
+    metrics = exp.evaluate_only(cfg)
+    out = capsys.readouterr().out
+    assert f"restored best by 'accuracy' checkpoint (epoch {best_epoch})" in out
+    assert metrics["accuracy"] == accs[best_epoch]
+    assert "swa_accuracy" in metrics  # swa started at epoch 0 in _shrink
+
+    # without a monitor the latest checkpoint is restored instead
+    cfg2 = apply_overrides(cfg, {"trainer.monitor": "null"})
+    exp.evaluate_only(cfg2)
+    out2 = capsys.readouterr().out
+    assert f"restored latest checkpoint (epoch {len(hist) - 1})" in out2
+
+
 def test_test_loaders_and_print_config(tmp_path, rng_np, capsys):
     exp = EXPERIMENTS["audioset"]
     path = _make_synth(tmp_path, rng_np, classes=527)

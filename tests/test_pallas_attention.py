@@ -209,6 +209,13 @@ def test_flat_kernel_supports_gating():
     assert not kernel_supports(2074, 64, backward=True)
     # lane-slicing grain: head_dim must be a sublane multiple
     assert not flat_kernel_supports(128, 4, 12, backward=False, itemsize=2)
+    # forward output residence (eval graphs pin the [B,N,C] output in
+    # scoped VMEM): B=20 @ N=590 OOMed on chip (19.5 MiB vs the 16 MiB
+    # limit) -> rejected; the train geometry stays selected
+    assert flat_kernel_supports(474, 12, 64, backward=False, itemsize=2, batch=12)
+    assert not flat_kernel_supports(590, 12, 64, backward=False, itemsize=2, batch=20)
+    # batch=None / symbolic batch keeps the prior (n-only) gating
+    assert flat_kernel_supports(590, 12, 64, backward=False, itemsize=2)
     # bad geometry raises
     with pytest.raises(ValueError):
         fused_attention_qkv(
