@@ -40,6 +40,17 @@ kernel-by-kernel table bounding each remaining non-matmul millisecond
 with a MEASURED custom-kernel attempt (fused attention, fused mel,
 per-leaf Pallas optimizer, flash attention, ...), not an estimate;
 vs_baseline 1.0 would need 71% sustained.
+
+Round 4: the loop length was raised 20 -> 200 steps. A step-count sweep
+(20/60/120 steps: 29.13 / 27.88 / 27.67 ms/step) showed the wall time of
+one ``fn`` call carries a FIXED ~35 ms of host dispatch + axon-tunnel
+round-trip (linear fit: slope 27.37 ms/step, intercept 35.2 ms) — at 20
+steps that fixed cost inflated the per-step number by ~1.76 ms, i.e. the
+old 414.5 specs/s headline under-reported the device's actual 27.4 ms
+step (= 438 specs/s, independently confirmed by the round-3 xprof
+profile's 27.3 ms device-busy time, PARITY.md). 200 steps amortizes the
+artifact to <0.2 ms/step; the printed number is still honest wall-clock
+(includes its share of dispatch), just no longer dominated by it.
 """
 
 import json
@@ -59,7 +70,7 @@ def main():
     from passt_tpu.train.steps import create_train_state, make_optimizer, make_train_step
 
     batch_size = 12  # reference model_speed_test default (ex_audioset.py:365)
-    steps = 20
+    steps = 200  # amortizes the fixed ~35 ms dispatch+tunnel RTT (docstring)
 
     cfg = PaSSTConfig(dtype="bfloat16", s_patchout_t=40, s_patchout_f=4)
     mel_cfg = MelConfig(fmin_aug_range=10, fmax_aug_range=2000)
