@@ -30,6 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from passt_tpu.data.pipeline import DeviceFeed
 from passt_tpu.train.metrics import mean_average_precision, roc_auc
 from passt_tpu.train.steps import TrainState
 from passt_tpu.train.swa import SWAState, swa_init, swa_should_update, swa_update
@@ -169,12 +170,12 @@ def evaluate(
     outs: List[np.ndarray] = []
     targets: List[np.ndarray] = []
     losses: List[np.ndarray] = []
-    it = iter(loader)
-    for i, batch in enumerate(it):
-        if limit_batches is not None and i >= limit_batches:
-            if hasattr(it, "stop"):
-                it.stop()  # release the prefetch thread + queued batches
-            break
+
+    def _to_device(batch):
+        # Runs on the DeviceFeed thread: dtype conversion + device_put of
+        # batch k+1 overlaps eval_step k (eval wave batches are the largest
+        # transfers in the system — B=20 x 10 s = 25.6 MB — and used to
+        # serialize with eval compute; same motivation as the fit() feed).
         arrays = {
             "wave": np.asarray(batch["wave"]),
             "target": batch["target"].astype(np.int32 if single_label else np.float32),
@@ -184,10 +185,19 @@ def evaluate(
         else:
             dev_batch = {k: jnp.asarray(v) for k, v in arrays.items()}
             n = len(arrays["wave"])
-        res = eval_step(params, dev_batch)
-        outs.append(np.asarray(res["out"])[:n])
-        targets.append(np.asarray(batch["target"]))
-        losses.append(np.asarray(res["loss_per_example"])[:n])
+        return dev_batch, n, np.asarray(batch["target"])
+
+    it = DeviceFeed(iter(loader), _to_device, depth=2)
+    try:
+        for i, (dev_batch, n, host_target) in enumerate(it):
+            if limit_batches is not None and i >= limit_batches:
+                break
+            res = eval_step(params, dev_batch)
+            outs.append(np.asarray(res["out"])[:n])
+            targets.append(host_target)
+            losses.append(np.asarray(res["loss_per_example"])[:n])
+    finally:
+        it.stop()  # release the feed thread + wrapped prefetcher on every path
     # This rank may have gotten zero batches (rank-sliced tiny eval set);
     # zero-row placeholders keep it alive into the gather, which recovers
     # the real trailing shapes from the non-empty ranks.
@@ -443,6 +453,10 @@ def fit(
     # real Ctrl-C during eval) must not leave the flag-only handler
     # installed process-wide (SIGTERMs would be swallowed forever)
     # nor leak a running trace.
+    train_it = None  # visible to the finally block: a real Ctrl-C or an
+    # exception escaping eval/checkpointing must not leave the DeviceFeed /
+    # prefetch threads running (blocked on their bounded queues holding
+    # device buffers + h5py handles) in a process that keeps living
     try:
         for epoch in range(start_epoch, max_epochs):
             t_epoch = time.time()
@@ -517,8 +531,12 @@ def fit(
                     pending_loss = metrics["loss"]
                     if _prof_active and host_step >= _prof_start + profile_num_steps:
                         # sync once so the traced window's device activity is
-                        # fully captured before the trace closes
-                        jax.block_until_ready(pending_loss)
+                        # fully captured before the trace closes. A scalar
+                        # FETCH, not block_until_ready: on the axon tunnel
+                        # block_until_ready returns in ~20 us without actually
+                        # waiting for the device (verify-skill gotcha), which
+                        # would close the trace before the window's work runs.
+                        float(pending_loss)
                         jax.profiler.stop_trace()
                         _prof_active = False
                         _prof_done = True
@@ -643,6 +661,11 @@ def fit(
                 break
 
     finally:
+        if train_it is not None and hasattr(train_it, "stop"):
+            try:  # no-op on an exhausted feed (thread already gone)
+                train_it.stop()
+            except Exception:
+                pass
         if _prof_active:  # run ended inside the profile window
             jax.profiler.stop_trace()
         if profile_dir and not _prof_done and not _prof_active and jax.process_index() == 0:
