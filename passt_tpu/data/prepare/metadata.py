@@ -32,11 +32,18 @@ def load_class_labels_indices(path: str) -> Dict[str, int]:
 
 
 def parse_audioset_segments_csv(
-    path: str, mid_to_index: Dict[str, int], num_classes: int = 527
+    path: str,
+    mid_to_index: Dict[str, int],
+    num_classes: int = 527,
+    name_format: str = "{ytid}_{start_ms}_{end_ms}.wav",
 ) -> Tuple[List[str], np.ndarray]:
     """AudioSet segments CSV (comment header lines starting '#';
     rows: YTID, start_seconds, end_seconds, "mid1,mid2,...") ->
-    (["YTID_start_end.wav", ...], multi-hot [N, num_classes])."""
+    (["YTID_start_end.wav", ...], multi-hot [N, num_classes]).
+
+    ``name_format`` maps a CSV row to the on-disk filename; placeholders
+    {ytid}, {start_ms}, {end_ms}. The reference downloader convention is
+    ``Y{ytid}.mp3`` (create_h5pymp3_dataset.py:41)."""
     files: List[str] = []
     targets: List[np.ndarray] = []
     with open(path, newline="") as f:
@@ -50,7 +57,11 @@ def parse_audioset_segments_csv(
                 mid = mid.strip().strip('"')
                 if mid in mid_to_index:
                     y[mid_to_index[mid]] = 1
-            files.append(f"{ytid}_{int(start * 1000)}_{int(end * 1000)}.wav")
+            files.append(
+                name_format.format(
+                    ytid=ytid, start_ms=int(start * 1000), end_ms=int(end * 1000)
+                )
+            )
             targets.append(y)
     return files, np.stack(targets) if targets else np.zeros((0, num_classes), np.uint8)
 

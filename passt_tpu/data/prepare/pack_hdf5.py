@@ -68,6 +68,92 @@ def pack_waveform_hdf5(
     return len(waves)
 
 
+class StreamingPacker:
+    """Incremental HDF5 packer for containers too large to buffer in RAM
+    (FSD50K dev: ~41k variable-length clips, reference
+    fsd50k/prepare_scripts/create_h5pymp3_dataset.py packs ~8 GB of mp3).
+
+    Streams the heavy vlen audio column row by row into a resizable
+    dataset; the small per-clip metadata (names, targets, lengths — a few
+    MB even at AudioSet scale) is buffered and written at close so the
+    fixed-width name column can be sized to the longest name. Produces the
+    exact layout of :func:`pack_bytes_hdf5` / :func:`pack_waveform_hdf5`.
+
+    >>> with StreamingPacker(path, column="mp3") as p:
+    ...     p.add_bytes(name, mp3_bytes, target, length_samples=n)
+    """
+
+    def __init__(
+        self,
+        out_path: str,
+        column: str = "mp3",
+        sample_rate: int = 32000,
+        packed_targets: bool = True,
+    ):
+        import h5py
+
+        self._column = column
+        self._sample_rate = sample_rate
+        self._packed = packed_targets
+        self._names: list = []
+        self._targets: list = []
+        self._lengths: list = []
+        self._f = h5py.File(out_path, "w")
+        self._audio = self._f.create_dataset(
+            column,
+            shape=(0,),
+            maxshape=(None,),
+            dtype=h5py.vlen_dtype(np.uint8),
+            chunks=(256,),
+        )
+
+    def add_bytes(self, name, blob: bytes, target, length_samples: Optional[int] = None):
+        """Append one clip of pre-encoded bytes (mp3/ogg/...)."""
+        i = len(self._names)
+        self._audio.resize((i + 1,))
+        self._audio[i] = np.frombuffer(blob, dtype=np.uint8)
+        self._names.append(name.encode() if isinstance(name, str) else name)
+        self._targets.append(target)
+        self._lengths.append(length_samples)
+
+    def add_waveform(self, name, wave: np.ndarray, target):
+        """Append one clip as int16 raw PCM (column must be 'raw_i16')."""
+        if self._column != "raw_i16":
+            raise ValueError("add_waveform requires column='raw_i16'")
+        w = np.clip(np.asarray(wave, dtype=np.float32), -1.0, 1.0)
+        q = (w * 32767.0).astype(np.int16)
+        self.add_bytes(name, q.view(np.uint8).tobytes(), target, length_samples=len(q))
+
+    def close(self) -> int:
+        """Write the buffered metadata columns and close. Returns count."""
+        try:
+            self._f.create_dataset("audio_name", data=_names_array(self._names))
+            targets = (
+                np.stack(self._targets)
+                if self._targets
+                else np.zeros((0, 1), np.uint8)
+            )
+            self._f.create_dataset("target", data=_pack_targets(targets, self._packed))
+            if all(n is not None for n in self._lengths) and self._lengths:
+                self._f.create_dataset(
+                    "length_samples", data=np.asarray(self._lengths, np.int64)
+                )
+            self._f.attrs["sample_rate"] = self._sample_rate
+        finally:
+            self._f.close()
+        return len(self._names)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:  # don't mask the in-flight error with a metadata write
+            self._f.close()
+        return False
+
+
 def pack_bytes_hdf5(
     out_path: str,
     items: Iterable[Tuple[str, bytes, np.ndarray]],
