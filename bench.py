@@ -41,6 +41,14 @@ with a MEASURED custom-kernel attempt (fused attention, fused mel,
 per-leaf Pallas optimizer, flash attention, ...), not an estimate;
 vs_baseline 1.0 would need 71% sustained.
 
+Round 4 also added bf16+SR PARAMETER storage (param_dtype=bfloat16_sr,
+the config default under bf16 compute via trainer.param_dtype="auto"):
+params stored bf16, updates applied with an fp32 add + stochastic-rounded
+store (train/optim.py apply_updates_sr) — halves param HBM traffic on all
+six per-step streams. Measured 27.92 -> 27.39 ms/step on the 60-step
+harness (scripts/ab_param_dtype.py); quality-neutral across 3 full-size
+seeds (mAP 0.916 +- 0.001 vs production band 0.900 +- 0.010, PARITY.md).
+
 Round 4: the loop length was raised 20 -> 200 steps. A step-count sweep
 (20/60/120 steps: 29.13 / 27.88 / 27.67 ms/step) showed the wall time of
 one ``fn`` call carries a FIXED ~35 ms of host dispatch + axon-tunnel
@@ -75,10 +83,13 @@ def main():
     cfg = PaSSTConfig(dtype="bfloat16", s_patchout_t=40, s_patchout_f=4)
     mel_cfg = MelConfig(fmin_aug_range=10, fmax_aug_range=2000)
     tx = make_optimizer(lr=2e-5, steps_per_epoch=1000, moments_dtype="bfloat16_sr")
-    model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0))
+    model, state = create_train_state(
+        cfg, tx, jax.random.PRNGKey(0), param_dtype="bfloat16_sr"
+    )
 
     raw_step = make_train_step(
-        model, tx, mel_cfg, loss_type="multilabel", use_mixup=True, jit=False
+        model, tx, mel_cfg, loss_type="multilabel", use_mixup=True, jit=False,
+        param_sr=True,
     )
 
     rng_np = np.random.default_rng(0)

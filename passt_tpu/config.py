@@ -136,6 +136,18 @@ class TrainerConfig:
     # mAP 0.893 vs 0.894 fp32, scripts/fullsize_train_demo.py). Set null
     # for strict fp32-moment parity with the reference torch AdamW, or
     # "bfloat16" for optax's mu-only bf16.
+    param_dtype: Optional[str] = "auto"  # parameter STORAGE dtype.
+    # "bfloat16_sr": matrix/embedding params stored bf16, updates applied
+    # with fp32 add + stochastic-rounded store (train/optim.py
+    # apply_updates_sr) — halves param HBM traffic on every touch (fwd
+    # read, bwd read, dW write, optimizer read/write; −172 MB residency,
+    # measured 0.981x step time, scripts/ab_param_dtype.py; quality-
+    # neutral at full size across 3 seeds, PARITY.md). "auto" (default):
+    # bfloat16_sr when model.dtype=bfloat16 — the forward already
+    # computes on per-use bf16 casts, so storage-then-use is bit-identical
+    # — and fp32 under model.dtype=float32 (exact reference parity).
+    # null: fp32 master weights always, matching the reference torch
+    # AdamW regardless of compute dtype.
     grad_accum: int = 1  # average K micro-batch grads per optimizer update
     # (optax.MultiSteps; LR schedule advances once per update)
     log_grad_norm: bool = False  # per-step global gradient norm in the
@@ -182,6 +194,18 @@ class ExperimentConfig:
     mel: MelConfig = MelConfig(fmin_aug_range=10, fmax_aug_range=2000)
     data: DataConfig = DataConfig()
     trainer: TrainerConfig = TrainerConfig()
+
+    def resolved_param_dtype(self) -> Optional[str]:
+        """``trainer.param_dtype`` with ``"auto"`` resolved: bf16+SR
+        parameter storage when the model computes in bf16 (storage-then-use
+        produces bit-identical forward weights to the per-use cast, so
+        eval/parity numerics are unchanged), fp32 master weights when the
+        model computes in fp32 (where bf16 storage WOULD change the
+        forward — e.g. the exact-parity test posture)."""
+        pd = self.trainer.param_dtype
+        if pd == "auto":
+            return "bfloat16_sr" if self.model.dtype == "bfloat16" else None
+        return pd
 
     def passt_config(self) -> PaSSTConfig:
         from passt_tpu.models.registry import get_model_config

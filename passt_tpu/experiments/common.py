@@ -334,6 +334,12 @@ class Experiment:
                 )
             params = load_pretrained_params(cfg.model.checkpoint_path, pcfg, params)
             print(f"loaded pretrained checkpoint: {cfg.model.checkpoint_path}")
+        param_dtype = cfg.resolved_param_dtype()
+        param_sr = param_dtype == "bfloat16_sr"
+        if param_sr:
+            from passt_tpu.train.optim import cast_params_storage
+
+            params = cast_params_storage(params, param_dtype)
         state = TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
         if not make_steps:
             if runtime is not None:
@@ -349,6 +355,7 @@ class Experiment:
             jit=runtime is None,
             log_grad_norm=cfg.trainer.log_grad_norm,
             log_grad_norm_per_block=cfg.trainer.log_grad_norm_per_block,
+            param_sr=param_sr,
         )
         if runtime is not None:
             state = runtime.shard_state(state)
@@ -635,7 +642,7 @@ class Experiment:
         raw_step = make_train_step(
             model, tx, cfg.mel, loss_type=cfg.trainer.loss_type,
             use_mixup=cfg.trainer.use_mixup, mixup_alpha=cfg.trainer.mixup_alpha,
-            jit=False,
+            jit=False, param_sr=cfg.resolved_param_dtype() == "bfloat16_sr",
         )
         if runtime is not None:
             # measure the SAME graph production training runs: the wrapper

@@ -64,6 +64,55 @@ def _stochastic_round_bf16(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     return sr.astype(jnp.bfloat16)
 
 
+def apply_updates_sr(params, updates, key: jax.Array):
+    """``optax.apply_updates`` with **stochastic-rounded bf16 stores**.
+
+    For bf16-stored parameter leaves the add runs in fp32 and the result is
+    stochastically rounded back to bf16 — unbiased, so updates far below
+    the bf16 ulp at weight scale (lr~2e-5 steps vs ulp(0.1)~4e-4) still
+    move the weight in expectation instead of rounding to zero as a
+    nearest-rounded ``p + u`` would. Non-bf16 leaves follow the exact
+    optax.apply_updates semantics (add in update dtype, cast to p.dtype).
+
+    This is the companion of bf16 parameter STORAGE
+    (``trainer.param_dtype="bfloat16_sr"``): the whole chain — optimizer
+    elementwise loops, this add, the SR bit-twiddle — fuses into one XLA
+    loop per leaf, so the saving is pure HBM traffic (2 B/param instead of
+    4 on every param touch: fwd read, bwd read, dW write, optimizer
+    read/write). Measured on-chip A/B: scripts/ab_param_dtype.py.
+    """
+    leaves_p, treedef = jax.tree_util.tree_flatten(params)
+    leaves_u = treedef.flatten_up_to(updates)
+    out = []
+    for i, (p, u) in enumerate(zip(leaves_p, leaves_u)):
+        if p.dtype == jnp.bfloat16:
+            s = p.astype(jnp.float32) + u.astype(jnp.float32)
+            out.append(_stochastic_round_bf16(s, jax.random.fold_in(key, i)))
+        else:
+            out.append(jnp.asarray(p + u.astype(jnp.asarray(p).dtype), p.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def cast_params_storage(params, param_dtype):
+    """Cast parameters to their STORAGE dtype.
+
+    ``param_dtype="bfloat16_sr"`` stores matrix/embedding leaves (ndim>=2)
+    in bf16; vectors (biases, LayerNorm scales — <1% of bytes, precision-
+    critical) stay fp32. ``None``/``"float32"`` is the identity. The train
+    step must then apply updates via :func:`apply_updates_sr`
+    (``make_train_step(param_sr=True)``) — nearest-rounded bf16 applies
+    LOSE the update (measured: scripts/ab_param_dtype.py 'bf16' arm).
+    """
+    if param_dtype in (None, "float32"):
+        return params
+    if param_dtype != "bfloat16_sr":
+        raise ValueError(
+            f"unknown param_dtype {param_dtype!r}; known: float32, bfloat16_sr"
+        )
+    cast = lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p  # noqa: E731
+    return jax.tree_util.tree_map(cast, params)
+
+
 def adamw_bf16sr(
     learning_rate,
     *,

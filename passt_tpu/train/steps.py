@@ -117,8 +117,16 @@ def create_train_state(
     cfg: PaSSTConfig,
     tx: optax.GradientTransformation,
     rng: jax.Array,
+    param_dtype: Optional[str] = None,
 ):
+    """``param_dtype="bfloat16_sr"`` stores matrix params in bf16 (halving
+    param HBM traffic on every touch); pair with
+    ``make_train_step(param_sr=True)`` so updates apply with stochastic
+    rounding instead of vanishing under nearest rounding (train/optim.py)."""
     model, params = init_passt(cfg, rng)
+    from passt_tpu.train.optim import cast_params_storage
+
+    params = cast_params_storage(params, param_dtype)
     state = TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
     return model, state
 
@@ -154,6 +162,7 @@ def make_train_step(
     jit: bool = True,
     log_grad_norm: bool = False,
     log_grad_norm_per_block: bool = False,
+    param_sr: bool = False,
 ):
     """Build the jitted train step.
 
@@ -193,7 +202,19 @@ def make_train_step(
 
         loss, grads = jax.value_and_grad(loss_of)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if param_sr:
+            # bf16 param storage: fp32 add + stochastic-rounded bf16 store
+            # (train/optim.py). Key derivation is deliberately distinct
+            # from step_keys (augmentation) and the optimizer's nu SR seed.
+            from passt_tpu.train.optim import apply_updates_sr
+
+            params = apply_updates_sr(
+                state.params,
+                updates,
+                jax.random.fold_in(jax.random.PRNGKey(0x5A), state.step),
+            )
+        else:
+            params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         metrics = {"loss": loss}
         if log_grad_norm:

@@ -29,11 +29,16 @@ class SWAState:
 def swa_init(params, swa_epoch_start: int = 50, swa_freq: int = 5) -> SWAState:
     # Deep-copy the device buffers: the live params are donated (and their
     # buffers invalidated) by the next train step, so the average must not
-    # alias them.
+    # alias them. The average is held in fp32 regardless of the params'
+    # storage dtype: under trainer.param_dtype="bfloat16_sr" a bf16 running
+    # average would stop moving once (p - avg)/(n+1) falls below the bf16
+    # ulp at weight scale (n >~ 4 at lr-scale deltas).
     import jax.numpy as jnp
 
     return SWAState(
-        avg_params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
+        avg_params=jax.tree.map(
+            lambda x: jnp.array(x, dtype=jnp.float32, copy=True), params
+        ),
         n_averaged=0,
         swa_epoch_start=swa_epoch_start,
         swa_freq=swa_freq,
@@ -65,12 +70,16 @@ def swa_update(state: SWAState, params) -> SWAState:
     n = state.n_averaged
 
     def upd(avg, p):
-        return avg + (p - avg) / (n + 1.0)
+        return avg + (p.astype(avg.dtype) - avg) / (n + 1.0)
 
     import jax.numpy as jnp
 
     if n == 0:
-        new_avg = jax.tree.map(lambda a, p: jnp.array(p, copy=True), state.avg_params, params)
+        new_avg = jax.tree.map(
+            lambda a, p: jnp.array(p, dtype=a.dtype, copy=True),
+            state.avg_params,
+            params,
+        )
     else:
         new_avg = jax.tree.map(upd, state.avg_params, params)
     return state.replace(avg_params=new_avg, n_averaged=n + 1)

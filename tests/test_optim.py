@@ -122,3 +122,159 @@ def test_config_activated_train_step():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert int(state.opt_state.count) == 3
+
+
+# ---------------------------------------------------------------------------
+# bf16 parameter STORAGE with stochastic-rounded applies
+# (trainer.param_dtype="bfloat16_sr": optim.apply_updates_sr /
+#  optim.cast_params_storage — the HBM lever measured in
+#  scripts/ab_param_dtype.py)
+# ---------------------------------------------------------------------------
+
+
+def test_apply_updates_sr_unbiased_below_ulp():
+    """An update far below the bf16 ulp at weight scale still moves the
+    weight in expectation (a nearest-rounded bf16 add would be a no-op)."""
+    from passt_tpu.train.optim import apply_updates_sr
+
+    p = {"w": jnp.full((4, 4096), 0.125, jnp.bfloat16)}  # ulp(0.125)=2^-11
+    u = {"w": jnp.full((4, 4096), -2e-5, jnp.float32)}  # |u| ~ ulp/24
+    # nearest rounding: p + u rounds back to exactly p
+    nearest = (p["w"].astype(jnp.float32) + u["w"]).astype(jnp.bfloat16)
+    assert (np.asarray(nearest) == np.asarray(p["w"])).all()
+    out = apply_updates_sr(p, u, jax.random.PRNGKey(0))["w"]
+    assert out.dtype == jnp.bfloat16
+    moved = np.asarray(out.astype(jnp.float32)).mean() - 0.125
+    # E[moved] = -2e-5; SR noise averages out over 16k elements
+    assert -3e-5 < moved < -1e-5, moved
+
+
+def test_apply_updates_sr_fp32_leaves_exact():
+    """Non-bf16 leaves follow exact optax.apply_updates semantics."""
+    from passt_tpu.train.optim import apply_updates_sr
+
+    p = {"w": jnp.ones((3, 3), jnp.bfloat16), "b": jnp.ones((3,), jnp.float32)}
+    u = {"w": jnp.zeros((3, 3), jnp.float32), "b": jnp.full((3,), 0.5, jnp.float32)}
+    ref = optax.apply_updates({"b": p["b"]}, {"b": u["b"]})
+    out = apply_updates_sr(p, u, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(out["b"]), np.asarray(ref["b"]))
+    assert out["b"].dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(out["w"], np.float32), np.ones((3, 3), np.float32)
+    )
+
+
+def test_cast_params_storage():
+    from passt_tpu.train.optim import cast_params_storage
+
+    p = {"w": jnp.ones((3, 3), jnp.float32), "b": jnp.ones((3,), jnp.float32)}
+    out = cast_params_storage(p, "bfloat16_sr")
+    assert out["w"].dtype == jnp.bfloat16  # matrices cast
+    assert out["b"].dtype == jnp.float32  # vectors stay fp32
+    assert cast_params_storage(p, None) is p
+    with pytest.raises(ValueError):
+        cast_params_storage(p, "float16")
+
+
+def test_param_sr_train_step_converges_like_fp32():
+    """The full param_dtype='bfloat16_sr' step (bf16 storage + SR apply +
+    bf16sr moments) tracks the fp32-storage loss trajectory on a small
+    overfit task, and params actually move despite lr << bf16 ulp."""
+    from passt_tpu.models.passt import PaSSTConfig
+    from passt_tpu.ops.frontend import MelConfig
+    from passt_tpu.train.steps import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = PaSSTConfig(
+        input_fdim=32, input_tdim=64, embed_dim=32, depth=1, num_heads=2,
+        num_classes=5, patch_size=(8, 8), stride=(8, 8), dtype="float32",
+    )
+    mel_cfg = MelConfig(n_mels=32, stft_method="matmul")
+    r = np.random.default_rng(0)
+    batch = {
+        "wave": jnp.asarray(r.standard_normal((2, 32000)), jnp.float32),
+        "target": jnp.asarray((r.uniform(size=(2, 5)) < 0.3), jnp.float32),
+    }
+
+    def run(param_dtype):
+        tx = make_optimizer(
+            lr=1e-3, steps_per_epoch=10, moments_dtype="bfloat16_sr"
+        )
+        model, state = create_train_state(
+            cfg, tx, jax.random.PRNGKey(0), param_dtype=param_dtype
+        )
+        step = make_train_step(
+            model, tx, mel_cfg, input_tdim=64,
+            param_sr=param_dtype == "bfloat16_sr",
+        )
+        losses = []
+        for i in range(8):
+            state, m = step(state, batch, jax.random.PRNGKey(7))
+            losses.append(float(m["loss"]))
+        return losses, state
+
+    losses_sr, state_sr = run("bfloat16_sr")
+    losses_fp, _ = run(None)
+    w = jax.tree_util.tree_leaves(state_sr.params)
+    assert any(p.dtype == jnp.bfloat16 for p in w)  # storage really bf16
+    assert np.isfinite(losses_sr).all()
+    assert losses_sr[-1] < losses_sr[0]  # learning
+    # same trajectory to within bf16 storage noise
+    np.testing.assert_allclose(losses_sr, losses_fp, rtol=0.08)
+
+
+def test_param_sr_through_experiment_build(tmp_path):
+    """trainer.param_dtype='bfloat16_sr' threads through Experiment.build:
+    bf16 storage, finite mini-train loss, and orbax checkpoint round-trip
+    at the bf16 dtype."""
+    from passt_tpu.config import parse_cli
+    from passt_tpu.experiments.audioset import experiment as ex
+
+    _, cfg = parse_cli(
+        [
+            "main", "with", "mini_train",
+            "trainer.param_dtype=bfloat16_sr",
+            f"trainer.checkpoint_dir={tmp_path}",
+        ],
+        ex.default_config,
+    )
+    model, state, train_step, eval_step, tx = ex.build(cfg, steps_per_epoch=2)
+    assert any(
+        p.dtype == jnp.bfloat16 for p in jax.tree_util.tree_leaves(state.params)
+    )
+    r = np.random.default_rng(0)
+    batch = {
+        "wave": jnp.asarray(
+            r.standard_normal((2, cfg.model.input_tdim * 320)), jnp.float32
+        ),
+        "target": jnp.asarray(
+            (r.uniform(size=(2, cfg.model.n_classes)) < 0.1), jnp.float32
+        ),
+    }
+    state2, m = train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    w2 = jax.tree_util.tree_leaves(state2.params)
+    assert any(p.dtype == jnp.bfloat16 for p in w2)
+
+
+def test_param_dtype_auto_resolution():
+    """trainer.param_dtype='auto' resolves by compute dtype: bf16+SR
+    storage under bf16 compute (bit-identical forward), fp32 master
+    weights under fp32 compute (exact-parity posture)."""
+    from passt_tpu.config import ExperimentConfig, apply_overrides
+
+    cfg = ExperimentConfig()
+    assert cfg.trainer.param_dtype == "auto"
+    assert cfg.model.dtype == "bfloat16"
+    assert cfg.resolved_param_dtype() == "bfloat16_sr"
+    cfg32 = apply_overrides(cfg, {"model.dtype": "float32"})
+    assert cfg32.resolved_param_dtype() is None
+    off = apply_overrides(cfg, {"trainer.param_dtype": "null"})
+    assert off.resolved_param_dtype() is None
+    explicit = apply_overrides(
+        cfg32, {"trainer.param_dtype": "bfloat16_sr"}
+    )
+    assert explicit.resolved_param_dtype() == "bfloat16_sr"
