@@ -3,9 +3,12 @@
 The reference preps ESC-50/FSD50K by shelling out to ffmpeg/librosa
 (fsd50k/prepare_scripts/convert_to_mp3.py:36 ``ffmpeg ... -ar 32000``;
 esc50/dataset.py:182 ``librosa.load(path, sr=32000, mono=True)``). Both
-datasets ship 44.1 kHz PCM WAVs; this module decodes them with the stdlib
-``wave`` reader (PCM 16/24/32-bit and IEEE float32, multi-channel averaged
-to mono exactly as ``mono=True`` does) and resamples with an anti-aliased
+datasets ship 44.1 kHz PCM WAVs; this module decodes them with a minimal
+RIFF chunk walk (PCM 16/24/32-bit, IEEE float32/float64, and
+WAVE_FORMAT_EXTENSIBLE carriers of either — the stdlib ``wave`` module
+rejects float and, before Python 3.12, extensible containers;
+multi-channel averaged to mono exactly as ``mono=True`` does) and
+resamples with an anti-aliased
 polyphase filter (scipy ``resample_poly``, the same windowed-sinc family
 librosa/ffmpeg use) — zero external binaries, matching the repo's
 in-process prep plane (mp3enc/oggdec).
@@ -14,7 +17,6 @@ in-process prep plane (mp3enc/oggdec).
 from __future__ import annotations
 
 import math
-import wave
 import warnings
 from typing import Tuple
 
@@ -33,15 +35,19 @@ def decode_wav(path: str) -> Tuple[np.ndarray, int]:
     if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
 
-    # stdlib wave handles PCM; it rejects WAVE_FORMAT_IEEE_FLOAT, so peek at
-    # the fmt chunk first and take the raw-data path for float containers.
+    # One chunk walk covers every format: the stdlib wave module rejects
+    # WAVE_FORMAT_IEEE_FLOAT outright and (before Python 3.12) also
+    # WAVE_FORMAT_EXTENSIBLE containers whose subformat is plain PCM, and
+    # re-reading frames it had already read doubles prep I/O — so decode
+    # straight from the parsed data chunk for all of them.
     fmt_code, channels, rate, bits, data = _read_chunks(path)
-    if fmt_code == 1:  # PCM — trust the stdlib parser for framing
-        with wave.open(path, "rb") as w:
-            channels = w.getnchannels()
-            rate = w.getframerate()
-            bits = w.getsampwidth() * 8
-            data = w.readframes(w.getnframes())
+    if channels < 1 or bits < 8:
+        raise ValueError(f"{path}: missing or malformed fmt chunk")
+    # guard a truncated final frame (size field larger than the bytes on
+    # disk): clip to whole frames so frombuffer/reshape can't fail
+    frame_bytes = channels * (bits // 8)
+    if frame_bytes and len(data) % frame_bytes:
+        data = data[: len(data) - (len(data) % frame_bytes)]
     if bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     elif bits == 32 and fmt_code == 3:

@@ -336,11 +336,18 @@ class Experiment:
             print(f"loaded pretrained checkpoint: {cfg.model.checkpoint_path}")
         param_dtype = cfg.resolved_param_dtype()
         param_sr = param_dtype == "bfloat16_sr"
+        # The optimizer is initialized on the PRE-cast fp32 params: optax
+        # moments inherit the init template's dtype, so initializing on
+        # bf16-cast params would silently give bf16 nearest-rounded moments
+        # even under trainer.opt_moments_dtype=null (the documented strict
+        # fp32-moment parity setting). The fused bf16+SR transform pins its
+        # own moment dtypes and is unaffected either way.
+        opt_state = tx.init(params)
         if param_sr:
             from passt_tpu.train.optim import cast_params_storage
 
             params = cast_params_storage(params, param_dtype)
-        state = TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
+        state = TrainState(params=params, opt_state=opt_state, step=jnp.int32(0))
         if not make_steps:
             if runtime is not None:
                 state = runtime.shard_state(state)

@@ -317,12 +317,18 @@ def fit(
         _dequant = jax.jit(lambda q: q.astype(jnp.float32) * (1.0 / 32768.0))
 
     def _to_device(batch) -> Dict[str, Any]:
+        # Runs on the DeviceFeed thread when device_prefetch > 0: host-side
+        # quantize + device_put only. The jitted dequant is DISPATCHED FROM
+        # THE MAIN THREAD (batch-loop below): in multi-controller runs every
+        # process must enqueue computations on global arrays in the same
+        # order, and a feed-thread dispatch would race the main thread's
+        # train_step/collective dispatches nondeterministically across ranks.
         wave = batch["wave"]
         if _dequant is not None:
             q = np.multiply(np.asarray(wave, np.float32), 32768.0)
             np.rint(q, out=q)
             np.clip(q, -32768.0, 32767.0, out=q)
-            dev_wave = _dequant(device_put(q.astype(np.int16)))
+            dev_wave = device_put(q.astype(np.int16))
         else:
             dev_wave = device_put(wave)
         return {
@@ -469,8 +475,6 @@ def fit(
                 train_loader.set_epoch(epoch)
                 train_it = iter(train_loader)
                 if device_prefetch > 0:
-                    from passt_tpu.data.pipeline import DeviceFeed
-
                     train_it = DeviceFeed(train_it, _to_device, depth=device_prefetch)
                 for i, batch in enumerate(train_it):
                     if _stop_agreed(i % log_every_steps == 0):
@@ -494,6 +498,13 @@ def fit(
                     # batches from a DeviceFeed arrive already on device;
                     # inline conversion is the device_prefetch=0 fallback
                     dev_batch = batch if device_prefetch > 0 else _to_device(batch)
+                    if _dequant is not None:
+                        # main-thread dispatch (see _to_device): async, so it
+                        # still overlaps — the device queue orders it before
+                        # the step either way
+                        dev_batch = dict(
+                            dev_batch, wave=_dequant(dev_batch["wave"])
+                        )
                     # Visual sanity dump of the *augmented* training input
                     # (reference wandb spectrogram images, ex_audioset.py:161-167,
                     # gated on the global step like the reference so resume does
@@ -703,10 +714,29 @@ def restore_checkpoint(
     ModelCheckpoint(monitor="allap"), ex_fsd50k.py:292-294)."""
     import orbax.checkpoint as ocp
 
+    def _monitor_value(metrics, key=monitor):
+        # Tolerant lookup: eval-set prefixes ("valid_"/"eval_") depend on how
+        # many eval sets the SAVING run had configured (multi-val prefixes,
+        # single-val doesn't — _resolve_monitor semantics). A restore-side
+        # caller can't know that, so accept the exact key, the stripped key,
+        # and the prefixed keys before failing loudly (e.g. FSD50K trains
+        # dual-val saving "valid_allap" but evaluate_only builds one loader
+        # and resolves the monitor to "allap").
+        if key in metrics:
+            return metrics[key]
+        for p in ("valid_", "eval_"):
+            if key.startswith(p) and key[len(p):] in metrics:
+                return metrics[key[len(p):]]
+            if p + key in metrics:
+                return metrics[p + key]
+        raise KeyError(
+            f"monitor {key!r} not among checkpoint metrics {sorted(metrics)}"
+        )
+
     opts = None
     if monitor is not None:
         opts = ocp.CheckpointManagerOptions(
-            best_fn=lambda metrics: metrics[monitor], best_mode=monitor_mode,
+            best_fn=_monitor_value, best_mode=monitor_mode,
             read_only=True,
         )
     mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir), options=opts)
@@ -720,7 +750,13 @@ def restore_checkpoint(
         raise FileNotFoundError(f"no checkpoints in {checkpoint_dir}")
     base = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
     with_swa = dict(base)
-    with_swa["swa_params"] = jax.tree.map(lambda x: x, state.params)
+    # The SWA running average is saved in fp32 regardless of the params'
+    # storage dtype (swa_init pins fp32 — a bf16 average stalls); the
+    # template must be fp32 too, or orbax silently downcasts the restored
+    # average to the bf16 param storage under param_dtype="bfloat16_sr".
+    with_swa["swa_params"] = jax.tree.map(
+        lambda x: x.astype(jnp.float32), state.params
+    )
     swa_n_tmpl = jnp.int32(0)
     if jax.process_count() > 1:
         # collective restore: template leaves must be GLOBAL like the saved

@@ -126,8 +126,12 @@ def create_train_state(
     model, params = init_passt(cfg, rng)
     from passt_tpu.train.optim import cast_params_storage
 
+    # init the optimizer on the fp32 params BEFORE the storage cast: optax
+    # moments inherit the init template's dtype, and bf16 nearest-rounded
+    # moments are numerically wrong (nu stops updating — optim.py docstring)
+    opt_state = tx.init(params)
     params = cast_params_storage(params, param_dtype)
-    state = TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
+    state = TrainState(params=params, opt_state=opt_state, step=jnp.int32(0))
     return model, state
 
 

@@ -129,6 +129,13 @@ def main():
         swa_freq=1,
         runtime=runtime,
         handle_sigterm=False,
+        # int16 wave transfer + DeviceFeed under MULTIPLE processes: the
+        # feed thread must do transfers only; the jitted dequant on the
+        # global batch is dispatched from the main thread, in the same
+        # order on every rank (a feed-thread dispatch would race the main
+        # thread's collective dispatches — multi-controller ordering)
+        transfer_dtype="int16",
+        device_prefetch=2,
     )
 
     # --- collective restore of the BEST checkpoint + resume for 1 epoch

@@ -577,3 +577,103 @@ def test_device_feed_stop_and_error_propagation():
         for v in feed2:
             got.append(v)
     assert got == [0, 1, 2]
+
+
+@pytest.mark.slow
+def test_restore_swa_template_fp32_under_bf16_params(tmp_path, rng_np):
+    """The SWA running average is saved fp32 regardless of the params'
+    storage dtype (swa_init pins fp32 — a bf16 average stalls). The
+    restore template must be fp32 too: under param_dtype='bfloat16_sr' a
+    template copied from state.params would make orbax silently downcast
+    the restored average to bf16 — a one-shot quantization of the very
+    weights the SWA protocols report."""
+    cfg = PaSSTConfig(
+        input_fdim=32, input_tdim=50, embed_dim=64, depth=2, num_heads=4,
+        num_classes=8,
+    )
+    mcfg = MelConfig(n_mels=32, freqm=4, timem=8)
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=2)
+    model, state = create_train_state(
+        cfg, tx, jax.random.PRNGKey(0), param_dtype="bfloat16_sr"
+    )
+    step = make_train_step(model, tx, mcfg, donate=False, param_sr=True)
+    ev = make_eval_step(model, mcfg)
+    batches = [
+        {
+            "wave": rng_np.standard_normal((4, 16000)).astype(np.float32),
+            "target": (rng_np.uniform(size=(4, 8)) < 0.3).astype(np.float32),
+            "name": ["x"] * 4,
+        }
+        for _ in range(2)
+    ]
+    ckpt = str(tmp_path / "ckpt_swa_bf16")
+    res = fit(
+        train_step=step,
+        eval_step=ev,
+        state=state,
+        train_loader=_ListLoader(batches),
+        max_epochs=2,
+        swa_epoch_start=1,
+        swa_freq=1,
+        base_rng=jax.random.PRNGKey(1),
+        checkpoint_dir=ckpt,
+        logger=MetricsLogger(quiet=True),
+    )
+    assert res.swa is not None and res.swa.n_averaged > 0
+
+    _, fresh = create_train_state(
+        cfg, tx, jax.random.PRNGKey(99), param_dtype="bfloat16_sr"
+    )
+    assert any(
+        p.dtype == jnp.bfloat16 for p in jax.tree.leaves(fresh.params)
+    )  # the template params really are bf16 — the hazard is live
+    restored, swa_restore, _ = restore_checkpoint(ckpt, fresh)
+    assert swa_restore is not None
+    avg_leaves = jax.tree.leaves(swa_restore[0])
+    assert all(l.dtype == jnp.float32 for l in avg_leaves)
+    for a, b in zip(jax.tree.leaves(res.swa.avg_params), avg_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_restore_best_monitor_prefix_tolerant(tmp_path, rng_np, monkeypatch):
+    """Eval-set prefixes on the monitor key depend on how many eval sets
+    the SAVING run had (multi-val prefixes 'valid_'/'eval_', single-val
+    doesn't). restore_checkpoint's best-metric lookup accepts the exact,
+    stripped, and prefixed key so evaluate_only (which builds ONE loader
+    and resolves the monitor to the unprefixed form) can restore a
+    checkpoint trained dual-val — the FSD50K flagship recipe."""
+    import passt_tpu.train.loop as loop_mod
+
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    # evaluate() runs once per val set per epoch, in dict order
+    # (valid, eval): valid_allap sees 0.3 / 0.9 / 0.5
+    rigged = iter([0.3, 0.0, 0.9, 0.0, 0.5, 0.0])
+
+    def fake_evaluate(*a, **k):
+        return {"val_loss": 1.0, "allap": next(rigged), "n_eval": 4}
+
+    monkeypatch.setattr(loop_mod, "evaluate", fake_evaluate)
+    ckpt = str(tmp_path / "ckpt_prefix")
+    fit(
+        train_step=step,
+        eval_step=ev,
+        state=state,
+        train_loader=_ListLoader(batches),
+        val_loaders={"valid": _ListLoader(batches), "eval": _ListLoader(batches)},
+        max_epochs=3,
+        base_rng=jax.random.PRNGKey(1),
+        checkpoint_dir=ckpt,
+        keep_last_n=3,
+        monitor="valid_allap",
+        logger=MetricsLogger(quiet=True),
+    )
+    _, fresh = create_train_state(cfg, tx, jax.random.PRNGKey(99))
+    # the stripped form evaluate_only resolves to against its single loader
+    _, _, epoch = restore_checkpoint(ckpt, fresh, monitor="allap")
+    assert epoch == 1  # best valid_allap = 0.9
+    # the exact saved key still works
+    assert restore_checkpoint(ckpt, fresh, monitor="valid_allap")[2] == 1
+    # and a monitor that matches nothing fails loudly, naming the keys
+    with pytest.raises(Exception, match="not among checkpoint metrics"):
+        restore_checkpoint(ckpt, fresh, monitor="nonexistent_metric")

@@ -278,3 +278,54 @@ def test_param_dtype_auto_resolution():
         cfg32, {"trainer.param_dtype": "bfloat16_sr"}
     )
     assert explicit.resolved_param_dtype() == "bfloat16_sr"
+
+
+def test_null_moments_dtype_stays_fp32_under_bf16_param_storage():
+    """opt_moments_dtype=null is the documented strict fp32-moment parity
+    setting — it must hold even when params are STORED bf16
+    (param_dtype='bfloat16_sr'). optax moments inherit the dtype of the
+    tx.init template, so initializing on the bf16-cast params would
+    silently create bf16 nearest-rounded mu/nu (exactly the nu-freeze
+    failure mode scripts/ab_param_dtype.py measures as wrong). The init
+    must therefore see the pre-cast fp32 params — both through
+    create_train_state and through Experiment.build."""
+    from passt_tpu.models.passt import PaSSTConfig
+    from passt_tpu.train.steps import create_train_state, make_optimizer
+
+    cfg = PaSSTConfig(
+        input_fdim=32, input_tdim=64, embed_dim=32, depth=1, num_heads=2,
+        num_classes=5, patch_size=(8, 8), stride=(8, 8),
+    )
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=2, moments_dtype=None)
+    _, state = create_train_state(
+        cfg, tx, jax.random.PRNGKey(0), param_dtype="bfloat16_sr"
+    )
+    # storage really bf16 ...
+    assert any(
+        p.dtype == jnp.bfloat16 for p in jax.tree_util.tree_leaves(state.params)
+    )
+    # ... but every float optimizer moment is fp32
+    float_leaves = [
+        l
+        for l in jax.tree_util.tree_leaves(state.opt_state)
+        if jnp.issubdtype(l.dtype, jnp.floating)
+    ]
+    assert float_leaves
+    assert all(l.dtype == jnp.float32 for l in float_leaves)
+
+    # the same invariant through the config/build path
+    from passt_tpu.config import parse_cli
+    from passt_tpu.experiments.audioset import experiment as ex
+
+    _, ecfg = parse_cli(
+        ["main", "with", "mini_train", "trainer.opt_moments_dtype=null"],
+        ex.default_config,
+    )
+    assert ecfg.resolved_param_dtype() == "bfloat16_sr"  # default bf16 compute
+    _, estate, _, _, _ = ex.build(ecfg, steps_per_epoch=2, make_steps=False)
+    efloat = [
+        l
+        for l in jax.tree_util.tree_leaves(estate.opt_state)
+        if jnp.issubdtype(l.dtype, jnp.floating)
+    ]
+    assert efloat and all(l.dtype == jnp.float32 for l in efloat)

@@ -100,6 +100,54 @@ class TestWavDecode:
         with pytest.raises(ValueError):
             decode_wav(str(p))
 
+    def test_wave_format_extensible_pcm16(self, tmp_path):
+        """WAVE_FORMAT_EXTENSIBLE carrying plain PCM16 (the common export
+        container for >16-bit / multichannel WAVs): the stdlib wave module
+        rejects these before Python 3.12 ('unknown format: 65534'), so the
+        chunk-walk decoder must handle them without it."""
+        from passt_tpu.data.prepare.wavdec import decode_wav
+
+        x = _sine(3000, 440.0, 44100)
+        data = (np.clip(x, -1, 1) * 32767.0).astype("<i2").tobytes()
+        # fmt: 16-byte base (tag 0xFFFE) + cbSize=22 extension whose
+        # SubFormat GUID leads with the real format code (1 = PCM)
+        guid = b"\x01\x00" + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        fmt = (
+            struct.pack("<HHIIHH", 0xFFFE, 1, 44100, 44100 * 2, 2, 16)
+            + struct.pack("<HHI", 22, 16, 0x4)
+            + guid
+        )
+        p = tmp_path / "ext.wav"
+        with open(p, "wb") as f:
+            f.write(
+                b"RIFF"
+                + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE"
+            )
+            f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+            f.write(b"data" + struct.pack("<I", len(data)) + data)
+        got, rate = decode_wav(str(p))
+        assert rate == 44100
+        np.testing.assert_allclose(got, x, atol=2.0 / 32767)
+
+    def test_truncated_final_frame(self, tmp_path):
+        """A data-chunk size field larger than the bytes on disk (truncated
+        download) clips to whole frames instead of crashing frombuffer."""
+        from passt_tpu.data.prepare.wavdec import decode_wav
+
+        left = _sine(100, 300.0, 32000)
+        right = _sine(100, 700.0, 32000)
+        inter = np.stack([left, right], axis=1).reshape(-1)
+        p = tmp_path / "trunc.wav"
+        _write_wav_pcm16(p, inter, 32000, channels=2)
+        raw = p.read_bytes()
+        p.write_bytes(raw[:-3])  # chop mid-frame; header still claims full size
+        got, _ = decode_wav(str(p))
+        assert len(got) == 99  # last (incomplete) frame dropped
+        np.testing.assert_allclose(
+            got, ((left + right) / 2)[:99], atol=2.0 / 32767
+        )
+
     def test_resample_44k_to_32k_tone(self):
         """Anti-aliased polyphase: a mid-band tone survives with the right
         frequency and near-unit amplitude (linear interp would attenuate)."""
