@@ -48,15 +48,19 @@ def decode_wav(path: str) -> Tuple[np.ndarray, int]:
     frame_bytes = channels * (bits // 8)
     if frame_bytes and len(data) % frame_bytes:
         data = data[: len(data) - (len(data) % frame_bytes)]
-    if bits == 16:
+    # Integer widths require WAVE_FORMAT_PCM (code 1) — a 16/32-bit frame of
+    # some exotic compressed codec (ADPCM, a-law, ...) must not be decoded as
+    # little-endian PCM garbage; float widths require WAVE_FORMAT_IEEE_FLOAT
+    # (code 3). Anything else falls through to the ValueError below.
+    if bits == 16 and fmt_code == 1:
         x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     elif bits == 32 and fmt_code == 3:
         x = np.frombuffer(data, dtype="<f4").astype(np.float32)
     elif bits == 64 and fmt_code == 3:
         x = np.frombuffer(data, dtype="<f8").astype(np.float32)
-    elif bits == 32:
+    elif bits == 32 and fmt_code == 1:
         x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
-    elif bits == 24:
+    elif bits == 24 and fmt_code == 1:
         b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         i32 = (
             b[:, 0].astype(np.int32)
@@ -68,7 +72,9 @@ def decode_wav(path: str) -> Tuple[np.ndarray, int]:
     else:
         raise ValueError(f"{path}: unsupported WAV format (code={fmt_code}, bits={bits})")
     if channels > 1:
-        x = x[: (len(x) // channels) * channels].reshape(-1, channels).mean(axis=1)
+        # len(x) is a whole number of frames already (the raw data bytes were
+        # clipped to frame_bytes above), so this reshape cannot fail.
+        x = x.reshape(-1, channels).mean(axis=1)
     return np.ascontiguousarray(x, dtype=np.float32), rate
 
 

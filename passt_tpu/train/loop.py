@@ -149,6 +149,8 @@ def evaluate(
     single_label: bool = False,
     masked: bool = False,
     runtime=None,
+    device_prefetch: int = 2,
+    transfer_dtype: str = "float32",
 ) -> Dict[str, float]:
     """Run the eval loader, compute loss + AP/ROC (multilabel) or accuracy
     (single-label) on host — reference validation_epoch_end
@@ -157,7 +159,21 @@ def evaluate(
     ``runtime`` (a :class:`passt_tpu.parallel.runtime.MeshRuntime`) shards
     each batch over the mesh's data axis, padding ragged tails and trimming
     the padded rows back off the outputs. val_loss is the mean of
-    per-example losses, so tail batches are weighted correctly."""
+    per-example losses, so tail batches are weighted correctly.
+
+    ``device_prefetch`` / ``transfer_dtype`` mirror fit()'s feed knobs on
+    the eval path (eval wave batches are the largest transfers in the
+    system — B=20 x 10 s = 25.6 MB): prefetch depth 0 disables the
+    DeviceFeed thread (inline conversion), and ``transfer_dtype="int16"``
+    halves the host->device bytes with the same symmetric-clip
+    quantization as fit() (exact round-trip for int16-container waves)."""
+    if transfer_dtype not in ("float32", "int16"):
+        raise ValueError(
+            f"transfer_dtype must be 'float32' or 'int16', got {transfer_dtype!r}"
+        )
+    _dequant = None
+    if transfer_dtype == "int16":
+        _dequant = jax.jit(lambda q: q.astype(jnp.float32) * (1.0 / 32768.0))
     if runtime is not None and runtime.spans_processes:
         # Multi-process: lockstep mesh eval would require identical per-rank
         # batch counts, which rank-sliced eval sets don't have (7 vs 5
@@ -176,8 +192,17 @@ def evaluate(
         # batch k+1 overlaps eval_step k (eval wave batches are the largest
         # transfers in the system — B=20 x 10 s = 25.6 MB — and used to
         # serialize with eval compute; same motivation as the fit() feed).
+        wave = np.asarray(batch["wave"])
+        if _dequant is not None:
+            # host-side quantize (feed thread); the jitted dequant is
+            # dispatched from the MAIN loop below — same multi-controller
+            # dispatch-order discipline as fit()'s _to_device
+            q = np.multiply(wave, 32768.0, dtype=np.float32)
+            np.rint(q, out=q)
+            np.clip(q, -32768.0, 32767.0, out=q)
+            wave = q.astype(np.int16)
         arrays = {
-            "wave": np.asarray(batch["wave"]),
+            "wave": wave,
             "target": batch["target"].astype(np.int32 if single_label else np.float32),
         }
         if runtime is not None:
@@ -187,17 +212,24 @@ def evaluate(
             n = len(arrays["wave"])
         return dev_batch, n, np.asarray(batch["target"])
 
-    it = DeviceFeed(iter(loader), _to_device, depth=2)
+    it = iter(loader)
+    if device_prefetch > 0:
+        it = DeviceFeed(it, _to_device, depth=device_prefetch)
+    else:
+        it = iter((_to_device(b) for b in it))
     try:
         for i, (dev_batch, n, host_target) in enumerate(it):
             if limit_batches is not None and i >= limit_batches:
                 break
+            if _dequant is not None:
+                dev_batch = dict(dev_batch, wave=_dequant(dev_batch["wave"]))
             res = eval_step(params, dev_batch)
             outs.append(np.asarray(res["out"])[:n])
             targets.append(host_target)
             losses.append(np.asarray(res["loss_per_example"])[:n])
     finally:
-        it.stop()  # release the feed thread + wrapped prefetcher on every path
+        if hasattr(it, "stop"):  # release the feed thread + wrapped
+            it.stop()            # prefetcher on every path (prefetch > 0)
     # This rank may have gotten zero batches (rank-sliced tiny eval set);
     # zero-row placeholders keep it alive into the gather, which recovers
     # the real trailing shapes from the non-empty ranks.
@@ -695,6 +727,41 @@ def fit(
     )
 
 
+def _resolve_monitor_metric(metrics, key):
+    """Tolerant monitor lookup for best-checkpoint restore.
+
+    Eval-set prefixes ("valid_"/"eval_") depend on how many eval sets the
+    SAVING run had configured (multi-val prefixes, single-val doesn't —
+    _resolve_monitor semantics). A restore-side caller can't know that, so
+    accept the exact key, the stripped key, and the prefixed keys before
+    failing loudly (e.g. FSD50K trains dual-val saving "valid_allap" but
+    evaluate_only builds one loader and resolves the monitor to "allap").
+
+    fit() saves exactly one metric key per checkpoint today
+    ({monitor: value}); if the save side ever records several prefixed
+    metrics, a stripped monitor like "allap" must not silently pick
+    valid_allap over eval_allap — all prefix matches are collected and
+    ambiguity raises."""
+    if key in metrics:
+        return metrics[key]
+    hits = {}
+    for p in ("valid_", "eval_"):
+        if key.startswith(p) and key[len(p):] in metrics:
+            hits[key[len(p):]] = metrics[key[len(p):]]
+        if p + key in metrics:
+            hits[p + key] = metrics[p + key]
+    if len(hits) == 1:
+        return next(iter(hits.values()))
+    if len(hits) > 1:
+        raise KeyError(
+            f"monitor {key!r} is ambiguous among checkpoint metrics "
+            f"{sorted(hits)}; pass the fully-prefixed monitor name"
+        )
+    raise KeyError(
+        f"monitor {key!r} not among checkpoint metrics {sorted(metrics)}"
+    )
+
+
 def restore_checkpoint(
     checkpoint_dir: str,
     state: TrainState,
@@ -715,23 +782,7 @@ def restore_checkpoint(
     import orbax.checkpoint as ocp
 
     def _monitor_value(metrics, key=monitor):
-        # Tolerant lookup: eval-set prefixes ("valid_"/"eval_") depend on how
-        # many eval sets the SAVING run had configured (multi-val prefixes,
-        # single-val doesn't — _resolve_monitor semantics). A restore-side
-        # caller can't know that, so accept the exact key, the stripped key,
-        # and the prefixed keys before failing loudly (e.g. FSD50K trains
-        # dual-val saving "valid_allap" but evaluate_only builds one loader
-        # and resolves the monitor to "allap").
-        if key in metrics:
-            return metrics[key]
-        for p in ("valid_", "eval_"):
-            if key.startswith(p) and key[len(p):] in metrics:
-                return metrics[key[len(p):]]
-            if p + key in metrics:
-                return metrics[p + key]
-        raise KeyError(
-            f"monitor {key!r} not among checkpoint metrics {sorted(metrics)}"
-        )
+        return _resolve_monitor_metric(metrics, key)
 
     opts = None
     if monitor is not None:

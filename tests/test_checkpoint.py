@@ -677,3 +677,51 @@ def test_restore_best_monitor_prefix_tolerant(tmp_path, rng_np, monkeypatch):
     # and a monitor that matches nothing fails loudly, naming the keys
     with pytest.raises(Exception, match="not among checkpoint metrics"):
         restore_checkpoint(ckpt, fresh, monitor="nonexistent_metric")
+
+
+def test_eval_feed_knobs(rng_np):
+    """evaluate()'s device_prefetch / transfer_dtype mirror fit()'s feed
+    knobs (round-5 plumb-through): prefetch depth only changes WHERE the
+    transfer happens, so metrics must be bitwise identical; int16 transfer
+    round-trips exactly for int16-grid waves; bad dtype raises."""
+    from passt_tpu.train.loop import evaluate
+
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    # int16-grid waves: the quantize->dequantize path is exact for these,
+    # so even the int16 run must reproduce the float32 metrics bitwise
+    grid = [
+        dict(
+            b,
+            wave=(
+                np.clip(np.rint(b["wave"] * 0.01 * 32768.0), -32768, 32767)
+                .astype(np.float32)
+                / 32768.0
+            ),
+        )
+        for b in batches
+    ]
+    m_inline = evaluate(ev, state.params, _ListLoader(grid), device_prefetch=0)
+    m_feed = evaluate(ev, state.params, _ListLoader(grid), device_prefetch=2)
+    m_int16 = evaluate(
+        ev, state.params, _ListLoader(grid), transfer_dtype="int16"
+    )
+    assert m_inline == m_feed == m_int16
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        evaluate(ev, state.params, _ListLoader(grid), transfer_dtype="int8")
+
+
+def test_monitor_metric_ambiguity_raises():
+    """_resolve_monitor_metric: exact > single prefix match > loud failure;
+    a stripped monitor matching BOTH valid_ and eval_ variants refuses to
+    guess (ADVICE r4 #2)."""
+    from passt_tpu.train.loop import _resolve_monitor_metric as res
+
+    assert res({"allap": 0.4}, "allap") == 0.4
+    assert res({"valid_allap": 0.5}, "allap") == 0.5       # prefix added
+    assert res({"allap": 0.6}, "valid_allap") == 0.6       # prefix stripped
+    # exact key wins even when the ambiguous pair exists
+    assert res({"valid_allap": 0.1, "eval_allap": 0.2}, "eval_allap") == 0.2
+    with pytest.raises(KeyError, match="ambiguous"):
+        res({"valid_allap": 0.1, "eval_allap": 0.2}, "allap")
+    with pytest.raises(KeyError, match="not among"):
+        res({"valid_allap": 0.1}, "loss")

@@ -148,6 +148,35 @@ class TestWavDecode:
             got, ((left + right) / 2)[:99], atol=2.0 / 32767
         )
 
+    def test_rejects_non_pcm_integer_codec(self, tmp_path):
+        """Integer widths require WAVE_FORMAT_PCM (code 1): a 16-bit frame
+        of some compressed codec (e.g. ADPCM, code 2) must raise instead of
+        being decoded as little-endian PCM garbage (ADVICE r4 #1). Float
+        widths likewise require code 3 — fmt_code=1 bits=32 is int PCM,
+        fmt_code=3 bits=16 is nonsense and must raise."""
+        import struct as _s
+
+        from passt_tpu.data.prepare.wavdec import decode_wav
+
+        def write(path, fmt_code, bits, payload):
+            with open(path, "wb") as f:
+                f.write(b"RIFF" + _s.pack("<I", 36 + len(payload)) + b"WAVE")
+                f.write(
+                    b"fmt "
+                    + _s.pack(
+                        "<IHHIIHH", 16, fmt_code, 1, 32000,
+                        32000 * bits // 8, bits // 8, bits,
+                    )
+                )
+                f.write(b"data" + _s.pack("<I", len(payload)) + payload)
+
+        payload = bytes(range(64)) * 4
+        for fmt_code, bits in [(2, 16), (6, 16), (7, 16), (2, 32), (3, 16)]:
+            p = tmp_path / f"bad_{fmt_code}_{bits}.wav"
+            write(p, fmt_code, bits, payload)
+            with pytest.raises(ValueError, match="unsupported WAV format"):
+                decode_wav(str(p))
+
     def test_resample_44k_to_32k_tone(self):
         """Anti-aliased polyphase: a mid-band tone survives with the right
         frequency and near-unit amplitude (linear interp would attenuate)."""
