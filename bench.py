@@ -62,6 +62,7 @@ artifact to <0.2 ms/step; the printed number is still honest wall-clock
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -72,7 +73,30 @@ import jax.numpy as jnp
 BASELINE_SPECS_PER_SEC = 500.0  # 2x A100 target (see module docstring)
 
 
+def _assert_tpu_backend():
+    """Refuse to report a TPU headline measured on a non-TPU backend.
+
+    The axon tunnel logs "Platform 'axon' is experimental" at the
+    xla_bridge level, but the selected jax backend is still ``tpu``
+    (device_kind "TPU v5 lite"). If the tunnel ever fell back to CPU,
+    this benchmark would print a plausible-looking but wrong specs/s —
+    so the backend is asserted and recorded in the output line.
+    Set PASST_BENCH_ALLOW_CPU=1 to run the workload off-TPU (smoke
+    tests); the output is then labeled with the actual platform.
+    """
+    backend = jax.default_backend()
+    dev = jax.devices()[0]
+    if backend != "tpu" and not os.environ.get("PASST_BENCH_ALLOW_CPU"):
+        raise SystemExit(
+            f"bench.py: refusing to report TPU throughput from backend "
+            f"{backend!r} (device {dev}). Set PASST_BENCH_ALLOW_CPU=1 to "
+            f"run the workload anyway (clearly-labeled non-TPU number)."
+        )
+    return backend, getattr(dev, "device_kind", str(dev))
+
+
 def main():
+    platform, device_kind = _assert_tpu_backend()
     from passt_tpu.models.passt import PaSSTConfig
     from passt_tpu.ops.frontend import MelConfig
     from passt_tpu.train.steps import create_train_state, make_optimizer, make_train_step
@@ -124,6 +148,8 @@ def main():
                 "value": round(specs_per_sec, 2),
                 "unit": "specs/second",
                 "vs_baseline": round(specs_per_sec / BASELINE_SPECS_PER_SEC, 3),
+                "platform": platform,
+                "device_kind": device_kind,
             }
         )
     )
