@@ -116,6 +116,9 @@ def test_timestamp_embeddings_short_audio_and_full_span(tiny_predictor, rng_np):
     np.testing.assert_allclose(hops, 50.0, atol=1e-6)
 
 
+@pytest.mark.slow  # builds the real depth-12 stfthop100 arch at tdim 3200
+# (twice) — ~2 min of init on a 1-core host; the fast tier covers the
+# Predictor surface with the tiny_predictor fixture above
 def test_predictor_uses_arch_time_grid():
     """Zoo archs trained on longer/denser time grids (20/30-sec, stfthop)
     must build at THEIR input_tdim, not the 998 default — otherwise only a
