@@ -49,6 +49,13 @@ class ModelSelect:
     # stride-granular reshape + per-tap-block dot_generals on the MXU)
     # | "conv" (XLA conv; ~3% MXU efficiency for the overlapping
     # stride-10 16x16 kernel — see PaSSTConfig.patch_embed_impl)
+    fuse_ln_qkv: bool = False  # absorb norm1 into the attention custom
+    # boundary (one Pallas pass for LN+qkv GEMM fwd / dqkv@W^T+LN bwd;
+    # geometry-gated, checkpoint-identical — see PaSSTConfig.fuse_ln_qkv)
+    blocks_impl: str = "loop"  # transformer depth: "loop" (unrolled,
+    # per-block params — the checkpoint/at-rest layout) | "scan" (one
+    # scanned Block over stacked [depth, ...] params; see
+    # PaSSTConfig.blocks_impl for the backward-graph rationale)
     # ensemble evaluation (reference ensemble named configs,
     # config_updates.py:136-222): name into registry.ENSEMBLES plus a
     # directory of ported checkpoints named <arch>.npz
@@ -228,6 +235,8 @@ class ExperimentConfig:
             attn_impl=m.attn_impl,
             ln_impl=m.ln_impl,
             patch_embed_impl=m.patch_embed_impl,
+            blocks_impl=m.blocks_impl,
+            fuse_ln_qkv=m.fuse_ln_qkv,
         )
 
     def pretty(self) -> str:

@@ -133,6 +133,22 @@ class PaSSTConfig:
     # passt.py:295 + 349-355 — hardcoded False there, a real option here)
     verbose_shapes: bool = False  # print stage shapes at trace time
     # (the reference's first_RUN shape tracing, passt.py:507-594)
+    fuse_ln_qkv: bool = False  # absorb norm1 into the flat attention
+    # custom boundary (ops/pallas/ln_qkv.py): one Pallas pass for
+    # LN -> qkv GEMM in the forward and for dqkv@W^T -> LN-backward in the
+    # backward, with the dW GEMM left in XLA so it keeps its optimizer
+    # epilogue fusion. Geometry-gated (ln_qkv_supports); params identical
+    # to the module path. Requires attn_impl fused and ln_impl xla.
+    blocks_impl: str = "loop"  # "loop": depth separate Block modules
+    # (params blocks_0..blocks_{depth-1} — the reference's nn.Sequential
+    # layout, passt.py:444-448); "scan": ONE Block scanned over stacked
+    # [depth, ...] params (lax.scan via nn.scan). Identical math per
+    # block; what changes is the BACKWARD graph: the 12 per-block
+    # weight-grad GEMMs + their fused optimizer epilogues (profiled at
+    # 6.20 ms/step, 39-50% MXU, PARITY.md "Profile attribution") become
+    # one scan with a single GEMM instance + ONE stacked optimizer
+    # fusion over [12, ...] leaves. Checkpoints interconvert by a pure
+    # stack/unstack (models/pretrained.py stack_block_params).
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -185,6 +201,40 @@ class PaSSTConfig:
         if self.gelu not in ("erf", "tanh"):
             raise ValueError(f"gelu must be 'auto'|'erf'|'tanh', got {self.gelu!r}")
         return self.gelu == "tanh"
+
+    @property
+    def use_scan_blocks(self) -> bool:
+        """Resolve ``blocks_impl``. The scan/stacked forms require a
+        uniform per-block static config, so the stochastic-depth decay
+        rule (per-block drop_path rates) is out of scope — the production
+        recipes all train at drop_path_rate 0 (ex_audioset.py:62-63
+        family sets patchout, not droppath)."""
+        if self.blocks_impl not in ("loop", "scan", "stacked"):
+            raise ValueError(
+                f"blocks_impl must be 'loop'|'scan'|'stacked', got "
+                f"{self.blocks_impl!r}"
+            )
+        if self.blocks_impl != "loop" and self.drop_path_rate > 0.0:
+            raise NotImplementedError(
+                f"blocks_impl={self.blocks_impl!r} requires drop_path_rate "
+                "== 0 (per-block stochastic-depth rates need the unrolled "
+                "'loop' form)"
+            )
+        if self.blocks_impl == "stacked":
+            # the hand-written stack backward (models/stacked_blocks.py)
+            # covers the production train graph: no in-block dropout
+            if self.drop_rate > 0.0 or self.attn_drop_rate > 0.0:
+                raise NotImplementedError(
+                    "blocks_impl='stacked' requires drop_rate == "
+                    "attn_drop_rate == 0 (no dropout in the hand-written "
+                    "stack backward; use 'loop')"
+                )
+            if not self.qkv_bias:
+                raise NotImplementedError(
+                    "blocks_impl='stacked' assumes qkv_bias=True (every "
+                    "published PaSST config; use 'loop' otherwise)"
+                )
+        return self.blocks_impl == "scan"
 
     def seq_len(self, train: bool, f_grid: Optional[int] = None, t_grid: Optional[int] = None) -> int:
         """Static transformer sequence length (incl. CLS/DIST tokens)."""
@@ -269,6 +319,40 @@ class Mlp(nn.Module):
         return x
 
 
+class _LNParams(nn.Module):
+    """Declare LayerNorm affine params (``scale``/``bias``) without the
+    computation — identical names/shapes/init/dtype to ``nn.LayerNorm``,
+    so checkpoints are interchangeable with the module path. Used by the
+    fused norm1+qkv+attention path, which consumes the raw params."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Declare Dense params (``kernel``/``bias``) without the computation —
+    identical to the ``nn.Dense(kernel_init=trunc_normal_init())`` the
+    module path creates under the same scope."""
+
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", trunc_normal_init(), (in_dim, self.features))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Fused-QKV multi-head self-attention (reference passt.py:331-361).
 
@@ -291,7 +375,7 @@ class Attention(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, ln=None):
         from passt_tpu.ops.pallas.attention import (
             flat_kernel_supports,
             fused_attention,
@@ -302,6 +386,48 @@ class Attention(nn.Module):
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
+
+        if ln is not None:
+            # ``ln=(scale, bias)``: x arrives PRE-norm1; fuse norm1 into the
+            # qkv projection + attention (ops/pallas/ln_qkv.py) when the
+            # geometry fits, else apply the identical LN math inline (fp32
+            # fast-variance, == nn.LayerNorm(dtype=f32)) and fall through
+            # to the standard paths below.
+            from passt_tpu.ops.pallas.ln_qkv import (
+                fused_ln_qkv_attention,
+                ln_qkv_supports,
+            )
+
+            itemsize = jnp.dtype(self.dtype).itemsize
+            fused_ok = self.fused and not (train and self.attn_drop > 0.0)
+            if fused_ok and ln_qkv_supports(
+                n, self.num_heads, head_dim, backward=train, itemsize=itemsize,
+                batch=b,
+            ):
+                qkv_kernel, qkv_bias = _DenseParams(
+                    self.dim * 3, self.qkv_bias, name="qkv"
+                )(c)
+                out = fused_ln_qkv_attention(
+                    x.astype(self.dtype), ln[0], ln[1], qkv_kernel,
+                    qkv_bias if qkv_bias is not None else jnp.zeros(
+                        (self.dim * 3,), jnp.float32
+                    ),
+                    heads=self.num_heads, head_dim=head_dim, scale=scale,
+                    plus1=self.plus1,
+                )
+                out = nn.Dense(
+                    self.dim, dtype=self.dtype, kernel_init=trunc_normal_init(),
+                    name="proj",
+                )(out)
+                return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+            x = (
+                (xf - mu) * jax.lax.rsqrt(var + jnp.float32(1e-6)) * ln[0]
+                + ln[1]
+            ).astype(self.dtype)
+
         qkv_flat = nn.Dense(
             self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
             kernel_init=trunc_normal_init(), name="qkv",
@@ -385,6 +511,7 @@ class Block(nn.Module):
     gelu_saved_deriv: bool = True
     fused_attn: bool = False
     fused_ln: bool = False
+    fuse_ln_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -393,12 +520,20 @@ class Block(nn.Module):
                 return drop_path(y, self.drop_path_rate, self.make_rng("droppath"))
             return y
 
-        h = _ln(self.fused_ln, "norm1")(x)
-        h = Attention(
+        attn = Attention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
             dtype=self.dtype, softmax_fp32=self.softmax_fp32, plus1=self.plus1,
             fused=self.fused_attn, name="attn",
-        )(h.astype(self.dtype), train)
+        )
+        if self.fuse_ln_qkv and self.fused_attn and not self.fused_ln:
+            # norm1 absorbed into the attention custom boundary
+            # (ops/pallas/ln_qkv.py); params stay at norm1/{scale,bias} —
+            # checkpoint-identical to the module path.
+            s_, b_ = _LNParams(self.dim, name="norm1")()
+            h = attn(x.astype(self.dtype), train, ln=(s_, b_))
+        else:
+            h = _ln(self.fused_ln, "norm1")(x)
+            h = attn(h.astype(self.dtype), train)
         x = x + maybe_drop_path(h)
         h = _ln(self.fused_ln, "norm2")(x)
         h = Mlp(
@@ -407,6 +542,141 @@ class Block(nn.Module):
             gelu_saved_deriv=self.gelu_saved_deriv, name="mlp",
         )(h.astype(self.dtype), train)
         return x + maybe_drop_path(h)
+
+
+class _StackedLNParams(nn.Module):
+    """Stacked [depth, C] LayerNorm affine params (scan-layout leaves)."""
+
+    depth: int
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "scale": self.param(
+                "scale", nn.initializers.ones, (self.depth, self.dim), jnp.float32
+            ),
+            "bias": self.param(
+                "bias", nn.initializers.zeros, (self.depth, self.dim), jnp.float32
+            ),
+        }
+
+
+class _StackedDenseParams(nn.Module):
+    """Stacked [depth, in, out] Dense params (same init family as the
+    per-block nn.Dense(kernel_init=trunc_normal_init()) — iid elements, so
+    one stacked draw is distribution-identical to depth separate draws)."""
+
+    depth: int
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "kernel": self.param(
+                "kernel", trunc_normal_init(), (self.depth, self.din, self.dout)
+            ),
+            "bias": self.param(
+                "bias", nn.initializers.zeros, (self.depth, self.dout)
+            ),
+        }
+
+
+class _StackedAttnParams(nn.Module):
+    depth: int
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "qkv": _StackedDenseParams(self.depth, self.dim, 3 * self.dim, name="qkv")(),
+            "proj": _StackedDenseParams(self.depth, self.dim, self.dim, name="proj")(),
+        }
+
+
+class _StackedMlpParams(nn.Module):
+    depth: int
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "fc1": _StackedDenseParams(self.depth, self.dim, self.hidden, name="fc1")(),
+            "fc2": _StackedDenseParams(self.depth, self.hidden, self.dim, name="fc2")(),
+        }
+
+
+class _StackedBlockParams(nn.Module):
+    """The full 'block' stacked subtree — scope path ``blocks/block/...``
+    matches the nn.scan layout leaf-for-leaf, so 'scan' and 'stacked'
+    checkpoints are interchangeable and stack_block_params covers both."""
+
+    depth: int
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "norm1": _StackedLNParams(self.depth, self.dim, name="norm1")(),
+            "attn": _StackedAttnParams(self.depth, self.dim, name="attn")(),
+            "norm2": _StackedLNParams(self.depth, self.dim, name="norm2")(),
+            "mlp": _StackedMlpParams(self.depth, self.dim, self.hidden, name="mlp")(),
+        }
+
+
+class _StackedBlocksHolder(nn.Module):
+    depth: int
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "block": _StackedBlockParams(
+                self.depth, self.dim, self.hidden, name="block"
+            )()
+        }
+
+
+class _BlockScanStep(nn.Module):
+    """One ``nn.scan`` step over the transformer depth: the SAME
+    :class:`Block` math under a ``block`` scope, with params stacked
+    [depth, ...] on axis 0 by the scan's ``variable_axes``. ``train`` is
+    an attribute (not a call arg) so the scan body signature stays the
+    canonical ``(carry, x) -> (carry, y)``."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop: float
+    attn_drop: float
+    dtype: Dtype
+    train: bool
+    softmax_fp32: bool = True
+    plus1: bool = False
+    gelu_approximate: bool = False
+    gelu_saved_deriv: bool = True
+    fused_attn: bool = False
+    fused_ln: bool = False
+    fuse_ln_qkv: bool = False
+
+    @nn.compact
+    def __call__(self, x, _):
+        y = Block(
+            self.dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
+            self.drop, self.attn_drop, 0.0, dtype=self.dtype,
+            softmax_fp32=self.softmax_fp32, plus1=self.plus1,
+            gelu_approximate=self.gelu_approximate,
+            gelu_saved_deriv=self.gelu_saved_deriv,
+            fused_attn=self.fused_attn, fused_ln=self.fused_ln,
+            fuse_ln_qkv=self.fuse_ln_qkv,
+            name="block",
+        )(x, self.train)
+        return y, None
 
 
 class PatchEmbed(nn.Module):
@@ -609,21 +879,72 @@ class PaSST(nn.Module):
         trace("final sequence", x)
         x = nn.Dropout(cfg.drop_rate, deterministic=not train)(x)
 
-        # Stochastic-depth decay rule (reference passt.py:444).
-        dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
-        # On TPU the training step is HBM-bandwidth-bound; remat trades
-        # (cheap) recompute for not saving per-block activations.
-        block_cls = nn.remat(Block, static_argnums=(2,)) if cfg.remat else Block
-        for i in range(cfg.depth):
-            x = block_cls(
+        cfg.use_scan_blocks  # validate blocks_impl + its constraints
+        if cfg.blocks_impl == "stacked":
+            # Unrolled forward over stacked [depth, ...] params with the
+            # hand-written deferred-batched-dW backward
+            # (models/stacked_blocks.py). Params live at blocks/block/...
+            # exactly like the scan layout.
+            from passt_tpu.models.stacked_blocks import stacked_blocks_apply
+
+            stacked = _StackedBlocksHolder(
+                cfg.depth, d, int(d * cfg.mlp_ratio), name="blocks"
+            )()["block"]
+            head_dim = d // cfg.num_heads
+            x = stacked_blocks_apply(
+                stacked,
+                x,
+                cfg.num_heads,
+                cfg.plus1_attn,
+                head_dim ** -0.5,
+                jax.default_backend() != "tpu",
+                cfg.gelu_approximate,
+            )
+        elif cfg.use_scan_blocks:
+            # One Block, scanned over stacked [depth, ...] params: the
+            # backward becomes a reverse scan with ONE weight-grad GEMM
+            # instance writing stacked grads, and the optimizer sees one
+            # [depth, ...] leaf per weight instead of `depth` separate
+            # ones (see PaSSTConfig.blocks_impl). RNG streams are split
+            # per scan step, so dropout draws differ from the loop form
+            # (same distribution; production recipes train at drop 0).
+            step_cls = nn.remat(_BlockScanStep) if cfg.remat else _BlockScanStep
+            scanned = nn.scan(
+                step_cls,
+                variable_axes={"params": 0},
+                split_rngs={
+                    "params": True, "dropout": True,
+                    "droppath": True, "patchout": True,
+                },
+                length=cfg.depth,
+            )(
                 d, cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias,
-                cfg.drop_rate, cfg.attn_drop_rate, float(dpr[i]),
-                dtype=dtype, softmax_fp32=cfg.softmax_fp32,
-                plus1=cfg.plus1_attn, gelu_approximate=cfg.gelu_approximate,
+                cfg.drop_rate, cfg.attn_drop_rate, dtype=dtype, train=train,
+                softmax_fp32=cfg.softmax_fp32, plus1=cfg.plus1_attn,
+                gelu_approximate=cfg.gelu_approximate,
                 gelu_saved_deriv=cfg.gelu_saved_deriv,
                 fused_attn=cfg.use_fused_attn, fused_ln=cfg.use_fused_ln,
-                name=f"blocks_{i}",
-            )(x, train)
+                fuse_ln_qkv=cfg.fuse_ln_qkv,
+                name="blocks",
+            )
+            x, _ = scanned(x, None)
+        else:
+            # Stochastic-depth decay rule (reference passt.py:444).
+            dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+            # On TPU the training step is HBM-bandwidth-bound; remat trades
+            # (cheap) recompute for not saving per-block activations.
+            block_cls = nn.remat(Block, static_argnums=(2,)) if cfg.remat else Block
+            for i in range(cfg.depth):
+                x = block_cls(
+                    d, cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias,
+                    cfg.drop_rate, cfg.attn_drop_rate, float(dpr[i]),
+                    dtype=dtype, softmax_fp32=cfg.softmax_fp32,
+                    plus1=cfg.plus1_attn, gelu_approximate=cfg.gelu_approximate,
+                    gelu_saved_deriv=cfg.gelu_saved_deriv,
+                    fused_attn=cfg.use_fused_attn, fused_ln=cfg.use_fused_ln,
+                    fuse_ln_qkv=cfg.fuse_ln_qkv,
+                    name=f"blocks_{i}",
+                )(x, train)
 
         x = _ln(cfg.use_fused_ln, "norm")(x)
 

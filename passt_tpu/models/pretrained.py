@@ -292,9 +292,55 @@ def load_params_npz(path: str) -> dict:
     return tree
 
 
+def stack_block_params(params: dict) -> dict:
+    """Per-block layout (``blocks_0..blocks_{D-1}``, the checkpoint/at-rest
+    form) -> scan layout (``blocks/block`` with [D, ...] stacked leaves) —
+    the pure reshape the ``blocks_impl='scan'`` model consumes. The two
+    layouts are numerically interchangeable; this is layout, not surgery."""
+    import jax
+
+    depth = len([k for k in params if k.startswith("blocks_")])
+    if depth == 0:
+        return params
+    per_block = [params[f"blocks_{i}"] for i in range(depth)]
+    out = {k: v for k, v in params.items() if not k.startswith("blocks_")}
+    out["blocks"] = {"block": jax.tree.map(lambda *xs: jnp.stack(xs), *per_block)}
+    return out
+
+
+def unstack_block_params(params: dict) -> dict:
+    """Inverse of :func:`stack_block_params` (scan -> per-block layout)."""
+    import jax
+
+    if "blocks" not in params:
+        return params
+    stacked = params["blocks"]["block"]
+    depth = jax.tree.leaves(stacked)[0].shape[0]
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    for i in range(depth):
+        out[f"blocks_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return out
+
+
+def _match_block_layout(params: dict, init_params: dict) -> dict:
+    """Re-lay ``params`` (either block layout) to match the model template's
+    layout, so every load path accepts checkpoints written by either
+    ``blocks_impl``."""
+    want_scan = "blocks" in init_params
+    have_scan = "blocks" in params
+    if want_scan and not have_scan:
+        return stack_block_params(params)
+    if have_scan and not want_scan:
+        return unstack_block_params(params)
+    return params
+
+
 def load_pretrained_params(path: str, cfg: PaSSTConfig, init_params: dict) -> dict:
-    """Port a checkpoint file (.pt torch pickle or .npz converted tree)."""
+    """Port a checkpoint file (.pt torch pickle or .npz converted tree).
+    The block layout (per-block vs scan-stacked) is adapted to whatever
+    layout ``init_params`` (the built model) uses."""
     if path.endswith(".npz"):
-        return load_params_npz(path)
+        return _match_block_layout(load_params_npz(path), init_params)
     sd = load_torch_checkpoint(path)
-    return convert_torch_state_dict(sd, cfg, init_params=init_params)
+    converted = convert_torch_state_dict(sd, cfg, init_params=init_params)
+    return _match_block_layout(converted, init_params)

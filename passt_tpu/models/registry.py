@@ -137,6 +137,8 @@ def get_model_config(
     attn_impl: str = "auto",
     ln_impl: str = "auto",
     patch_embed_impl: str = "unfold",
+    blocks_impl: str = "loop",
+    fuse_ln_qkv: bool = False,
 ) -> PaSSTConfig:
     """Resolve an arch name + overrides to a :class:`PaSSTConfig`
     (the reference ``get_model`` signature, passt.py:957-961)."""
@@ -167,6 +169,8 @@ def get_model_config(
         attn_impl=attn_impl,
         ln_impl=ln_impl,
         patch_embed_impl=patch_embed_impl,
+        blocks_impl=blocks_impl,
+        fuse_ln_qkv=fuse_ln_qkv,
     )
 
 

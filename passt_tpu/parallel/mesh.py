@@ -65,10 +65,17 @@ TP_RULES = [
 ]
 
 
-def param_partition_spec(path: str, tp: bool) -> P:
+def param_partition_spec(path: str, tp: bool, ndim: Optional[int] = None) -> P:
+    """``ndim``: rank of the leaf being placed. The TP_RULES specs are
+    written for the per-block (2-D kernel / 1-D bias) layout; the
+    ``blocks_impl='scan'`` model stacks a leading [depth] axis onto every
+    block leaf, so a matching leaf one rank larger gets the same spec with
+    the stack axis left unsharded."""
     if tp:
         for pattern, spec in TP_RULES:
             if re.search(pattern, path):
+                if ndim is not None and ndim == len(spec) + 1:
+                    return P(None, *spec)
                 return spec
     return P()  # replicated
 
@@ -84,7 +91,9 @@ def shard_params(params, mesh: Mesh, tp: Optional[bool] = None):
         tp = mesh.shape[MODEL_AXIS] > 1
 
     def place(keypath, leaf):
-        spec = param_partition_spec(_flat_path(keypath), tp)
+        spec = param_partition_spec(
+            _flat_path(keypath), tp, ndim=getattr(leaf, "ndim", None)
+        )
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
@@ -123,7 +132,7 @@ def make_parallel_train_step(step_fn, mesh: Mesh, jit: bool = True):
         def pin(keypath, leaf):
             if not hasattr(leaf, "ndim") or leaf.ndim == 0:
                 return leaf
-            spec = param_partition_spec(_flat_path(keypath), tp)
+            spec = param_partition_spec(_flat_path(keypath), tp, ndim=leaf.ndim)
             return jax.lax.with_sharding_constraint(leaf, NamedSharding(mesh, spec))
 
         return jax.tree_util.tree_map_with_path(pin, tree)
