@@ -49,6 +49,19 @@ six per-step streams. Measured 27.92 -> 27.39 ms/step on the 60-step
 harness (scripts/ab_param_dtype.py); quality-neutral across 3 full-size
 seeds (mAP 0.916 +- 0.001 vs production band 0.900 +- 0.010, PARITY.md).
 
+Round 5 closed the two structural questions the round-4 profile left
+open, with full-step measurements (PARITY.md "Measured dead ends"):
+batching the 12 per-block dW GEMMs via stacked params — real in
+isolation (199 -> 248 TFLOP/s, scripts/ab_batched_dw.py) — LOSES end to
+end in every formulation (nn.scan 33.38 ms, hand-written deferred-dW
+custom_vjp 33.04 ms vs loop 27.30 ms: the stacked cotangent
+materialization costs more HBM traffic than the batching saves), and
+absorbing norm1 into the attention kernel boundary is neutral (27.354
+vs 27.303 ms, scripts/ab_ln_qkv.py). The unrolled per-block graph with
+XLA's own epilogue fusion is the measured optimum of every formulation
+tried; ~27.3 ms device time (~440 specs/s) is this graph's floor on
+this chip.
+
 Round 4: the loop length was raised 20 -> 200 steps. A step-count sweep
 (20/60/120 steps: 29.13 / 27.88 / 27.67 ms/step) showed the wall time of
 one ``fn`` call carries a FIXED ~35 ms of host dispatch + axon-tunnel
