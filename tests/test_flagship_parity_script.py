@@ -69,6 +69,7 @@ _SHRINK = [
 ]
 
 
+@pytest.mark.slow
 def test_wiring_ungated_smoke(tiny_artifacts, tmp_path, capsys):
     """Truncated eval runs end to end, reports, and does NOT gate."""
     import run_flagship_parity as rfp
@@ -89,6 +90,7 @@ def test_wiring_ungated_smoke(tiny_artifacts, tmp_path, capsys):
     assert 0.0 <= rec["value"] <= 1.0
 
 
+@pytest.mark.slow
 def test_gate_pass_and_fail_exit_codes(tiny_artifacts, tmp_path, capsys):
     """Full (untruncated) eval gates on |value - expect| <= tol: rc 0 when
     the measured number is pinned as expected, rc 1 when it is far off.

@@ -50,6 +50,7 @@ def test_stack_unstack_roundtrip_exact(loop_model):
     assert sorted(rt) == sorted(p_loop)
 
 
+@pytest.mark.slow
 def test_grads_match_loop_vs_scan(loop_model, rng_np):
     """d loss/d params agrees leaf-for-leaf after restacking — the scan
     backward (reverse scan + stacked dW) computes the same gradients as
@@ -85,6 +86,7 @@ def optax_sigmoid_ce(logits, y):
     return optax.sigmoid_binary_cross_entropy(logits, y).mean()
 
 
+@pytest.mark.slow
 def test_scan_train_step_runs_and_matches_loop_loss(rng_np):
     """A full train step (mel + mixup + fwd/bwd + AdamW) through the scan
     model: runs, loss finite, and — with the loop model's params stacked in
@@ -151,6 +153,7 @@ def test_tp_rules_shard_stacked_leaves():
     )
 
 
+@pytest.mark.slow
 def test_scan_model_on_mesh_matches_single_device(loop_model, rng_np):
     """One train step of the scan model on a dp4×tp2 mesh == single-device,
     with the stacked leaves actually TP-sharded."""

@@ -57,6 +57,7 @@ def test_forward_matches_loop(trees, rng_np):
     np.testing.assert_allclose(np.asarray(feat_l), np.asarray(feat_s), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_hand_backward_matches_ad(trees, rng_np):
     """The deferred-batched-dW backward == AD of the scan model (same
     stacked tree) to fp32 rounding, every leaf."""
@@ -83,6 +84,7 @@ def test_hand_backward_matches_ad(trees, rng_np):
         )
 
 
+@pytest.mark.slow
 def test_train_mode_patchout_runs(trees, rng_np):
     """train=True (patchout active outside the blocks) runs and is finite;
     step-0 loss == the loop model's under the same rngs."""
@@ -117,6 +119,7 @@ def test_stacked_rejects_dropout_and_droppath():
         PaSSTConfig(**KW, blocks_impl="stacked", drop_path_rate=0.1).use_scan_blocks
 
 
+@pytest.mark.slow
 def test_bf16_discipline_close_to_loop(trees, rng_np):
     """bf16 compute: stacked forward tracks the loop forward within bf16
     rounding accumulation."""
