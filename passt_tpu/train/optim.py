@@ -109,8 +109,18 @@ def cast_params_storage(params, param_dtype):
         raise ValueError(
             f"unknown param_dtype {param_dtype!r}; known: float32, bfloat16_sr"
         )
-    cast = lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p  # noqa: E731
-    return jax.tree_util.tree_map(cast, params)
+
+    def cast(keypath, p):
+        # Under the stacked block layouts (blocks_impl="scan"/"stacked",
+        # leaves at blocks/block/... with a leading [depth] axis) the
+        # vector-vs-matrix distinction is the PER-BLOCK rank: a [12, 768]
+        # LayerNorm scale is still a precision-critical vector, not a
+        # matrix.
+        keys = [str(getattr(k, "key", k)) for k in keypath]
+        eff_ndim = p.ndim - (1 if keys[:2] == ["blocks", "block"] else 0)
+        return p.astype(jnp.bfloat16) if eff_ndim >= 2 else p
+
+    return jax.tree_util.tree_map_with_path(cast, params)
 
 
 def adamw_bf16sr(

@@ -329,3 +329,28 @@ def test_null_moments_dtype_stays_fp32_under_bf16_param_storage():
         if jnp.issubdtype(l.dtype, jnp.floating)
     ]
     assert efloat and all(l.dtype == jnp.float32 for l in efloat)
+
+
+def test_cast_params_storage_keeps_stacked_vectors_fp32():
+    """Under the stacked block layouts (blocks_impl=scan/stacked) the
+    LayerNorm scales/biases and Dense biases are [depth, C] — rank 2 but
+    still precision-critical VECTORS per block. The storage cast must key
+    on per-block rank, not raw ndim (round-5 regression)."""
+    import jax
+
+    from passt_tpu.models.passt import PaSSTConfig, init_passt
+    from passt_tpu.train.optim import cast_params_storage
+
+    kw = dict(input_fdim=64, input_tdim=100, embed_dim=64, depth=2,
+              num_heads=4, num_classes=5)
+    for impl in ("loop", "scan", "stacked"):
+        _, p = init_passt(
+            PaSSTConfig(**kw, blocks_impl=impl), jax.random.PRNGKey(0)
+        )
+        c = cast_params_storage(p, "bfloat16_sr")
+        blk = c["blocks_0"] if impl == "loop" else c["blocks"]["block"]
+        assert blk["norm1"]["scale"].dtype == jnp.float32, impl
+        assert blk["attn"]["qkv"]["bias"].dtype == jnp.float32, impl
+        assert blk["attn"]["qkv"]["kernel"].dtype == jnp.bfloat16, impl
+        assert blk["mlp"]["fc1"]["kernel"].dtype == jnp.bfloat16, impl
+        assert c["head_linear"]["kernel"].dtype == jnp.bfloat16, impl
