@@ -53,9 +53,13 @@ class ModelSelect:
     # boundary (one Pallas pass for LN+qkv GEMM fwd / dqkv@W^T+LN bwd;
     # geometry-gated, checkpoint-identical — see PaSSTConfig.fuse_ln_qkv)
     blocks_impl: str = "loop"  # transformer depth: "loop" (unrolled,
-    # per-block params — the checkpoint/at-rest layout) | "scan" (one
-    # scanned Block over stacked [depth, ...] params; see
-    # PaSSTConfig.blocks_impl for the backward-graph rationale)
+    # per-block params — the checkpoint/at-rest layout and the measured
+    # fastest to execute) | "scan" (one scanned Block over stacked
+    # [depth, ...] params — ~3x faster compiles, slower execution) |
+    # "stacked" (unrolled over stacked params with the hand-written
+    # deferred-batched-dW backward — a measured perf dead end kept with
+    # its ledger; see PaSSTConfig.blocks_impl). Checkpoints interconvert
+    # automatically between layouts.
     # ensemble evaluation (reference ensemble named configs,
     # config_updates.py:136-222): name into registry.ENSEMBLES plus a
     # directory of ported checkpoints named <arch>.npz

@@ -234,6 +234,39 @@ class PaSSTConfig:
                     "blocks_impl='stacked' assumes qkv_bias=True (every "
                     "published PaSST config; use 'loop' otherwise)"
                 )
+            # knobs the stacked implementation cannot honor must fail
+            # loudly, not silently measure the same graph twice
+            if self.attn_impl == "xla":
+                raise NotImplementedError(
+                    "blocks_impl='stacked' always uses the flat Pallas "
+                    "attention (with its internal fallback); attn_impl="
+                    "'xla' is not honored — use 'loop' to A/B attention"
+                )
+            if not self.softmax_fp32:
+                raise NotImplementedError(
+                    "blocks_impl='stacked' computes fp32 attention "
+                    "softmax unconditionally; softmax_fp32=False is not "
+                    "honored — use 'loop'"
+                )
+            if self.remat:
+                raise NotImplementedError(
+                    "blocks_impl='stacked' has a hand-written backward; "
+                    "remat is not honored — use 'loop' or 'scan'"
+                )
+        if self.fuse_ln_qkv:
+            # definitively-contradictory combinations raise; the 'auto'
+            # off-TPU / geometry cases remain runtime gates like
+            # attn_impl='auto' itself
+            if self.use_fused_ln:
+                raise NotImplementedError(
+                    "fuse_ln_qkv absorbs norm1 into the attention "
+                    "boundary and cannot combine with ln_impl='fused'"
+                )
+            if self.attn_impl == "xla":
+                raise NotImplementedError(
+                    "fuse_ln_qkv requires the fused attention kernel; "
+                    "attn_impl='xla' contradicts it"
+                )
         return self.blocks_impl == "scan"
 
     def seq_len(self, train: bool, f_grid: Optional[int] = None, t_grid: Optional[int] = None) -> int:
@@ -396,6 +429,7 @@ class Attention(nn.Module):
             from passt_tpu.ops.pallas.ln_qkv import (
                 fused_ln_qkv_attention,
                 ln_qkv_supports,
+                ln_stats,
             )
 
             itemsize = jnp.dtype(self.dtype).itemsize
@@ -421,12 +455,8 @@ class Attention(nn.Module):
                 )(out)
                 return nn.Dropout(self.proj_drop, deterministic=not train)(out)
             xf = x.astype(jnp.float32)
-            mu = jnp.mean(xf, axis=-1, keepdims=True)
-            var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-            x = (
-                (xf - mu) * jax.lax.rsqrt(var + jnp.float32(1e-6)) * ln[0]
-                + ln[1]
-            ).astype(self.dtype)
+            mu, rstd = ln_stats(xf, 1e-6)
+            x = ((xf - mu) * rstd * ln[0] + ln[1]).astype(self.dtype)
 
         qkv_flat = nn.Dense(
             self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,

@@ -52,18 +52,18 @@ from passt_tpu.ops.pallas.attention import (
     _flat_attn_fwd,
     flat_kernel_supports,
 )
+from passt_tpu.ops.pallas.ln_qkv import ln_stats
 
 _C = math.sqrt(2.0 / math.pi)
 _A = 0.044715
 
 
 def _ln_fwd(x, scale, bias, eps=1e-6):
-    """fp32 fast-variance LayerNorm (== nn.LayerNorm(dtype=f32) defaults).
+    """fp32 fast-variance LayerNorm (== nn.LayerNorm(dtype=f32) defaults;
+    statistics via the shared ops.pallas.ln_qkv.ln_stats).
     Returns (xn_f32, mu, rstd)."""
     xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    rstd = jax.lax.rsqrt(var + jnp.float32(eps))
+    mu, rstd = ln_stats(xf, eps)
     xn = (xf - mu) * rstd * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return xn, mu, rstd
 

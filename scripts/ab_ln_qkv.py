@@ -15,67 +15,11 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
-
-import jax
-import jax.numpy as jnp
-
-
-def measure(fuse: bool, steps: int, trials: int = 3):
-    from passt_tpu.models.passt import PaSSTConfig
-    from passt_tpu.ops.frontend import MelConfig
-    from passt_tpu.train.steps import create_train_state, make_optimizer, make_train_step
-
-    batch_size = 12
-    cfg = PaSSTConfig(
-        dtype="bfloat16", s_patchout_t=40, s_patchout_f=4, fuse_ln_qkv=fuse
-    )
-    mel_cfg = MelConfig(fmin_aug_range=10, fmax_aug_range=2000)
-    tx = make_optimizer(lr=2e-5, steps_per_epoch=1000, moments_dtype="bfloat16_sr")
-    model, state = create_train_state(
-        cfg, tx, jax.random.PRNGKey(0), param_dtype="bfloat16_sr"
-    )
-    raw_step = make_train_step(
-        model, tx, mel_cfg, loss_type="multilabel", use_mixup=True, jit=False,
-        param_sr=True,
-    )
-    rng_np = np.random.default_rng(0)
-    wave = jnp.asarray(rng_np.standard_normal((batch_size, 320000)).astype(np.float32))
-    target = jnp.asarray(
-        (rng_np.uniform(size=(batch_size, 527)) < 0.05).astype(np.float32)
-    )
-    base_rng = jax.random.PRNGKey(42)
-
-    def run_n(state, wave, target):
-        def body(_, carry):
-            st, loss_acc = carry
-            st, metrics = raw_step(st, {"wave": wave, "target": target}, base_rng)
-            return st, loss_acc + metrics["loss"]
-
-        return jax.lax.fori_loop(0, steps, body, (state, jnp.float32(0.0)))
-
-    fn = jax.jit(run_n, donate_argnums=(0,))
-    t0 = time.perf_counter()
-    state, loss0 = fn(state, wave, target)
-    float(loss0)
-    compile_s = time.perf_counter() - t0
-    best_dt = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        state, loss_sum = fn(state, wave, target)
-        final_loss = float(loss_sum)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    return {
-        "fuse_ln_qkv": fuse,
-        "ms_per_step": round(best_dt / steps * 1e3, 3),
-        "specs_per_sec": round(steps * batch_size / best_dt, 2),
-        "compile_s": round(compile_s, 1),
-        "mean_loss": round(final_loss / steps, 4),
-    }
+from ab_scan_blocks import measure  # the one shared step-measure harness
 
 
 def main(argv=None):
@@ -86,7 +30,7 @@ def main(argv=None):
     variants = [False, True] if args.only is None else [args.only == "on"]
     results = []
     for fuse in variants:
-        r = measure(fuse, args.steps)
+        r = measure(steps=args.steps, fuse_ln_qkv=fuse)
         print(json.dumps(r), flush=True)
         results.append(r)
     if len(results) == 2:

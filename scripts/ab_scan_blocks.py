@@ -30,14 +30,18 @@ import jax
 import jax.numpy as jnp
 
 
-def measure(blocks_impl: str, steps: int, trials: int = 3):
+def measure(blocks_impl: str = "loop", steps: int = 60, trials: int = 3,
+            **cfg_overrides):
+    """Full production train step at the bench.py configuration; shared by
+    scripts/ab_ln_qkv.py (pass fuse_ln_qkv=True etc. via cfg_overrides)."""
     from passt_tpu.models.passt import PaSSTConfig
     from passt_tpu.ops.frontend import MelConfig
     from passt_tpu.train.steps import create_train_state, make_optimizer, make_train_step
 
     batch_size = 12
     cfg = PaSSTConfig(
-        dtype="bfloat16", s_patchout_t=40, s_patchout_f=4, blocks_impl=blocks_impl
+        dtype="bfloat16", s_patchout_t=40, s_patchout_f=4,
+        blocks_impl=blocks_impl, **cfg_overrides,
     )
     mel_cfg = MelConfig(fmin_aug_range=10, fmax_aug_range=2000)
     tx = make_optimizer(lr=2e-5, steps_per_epoch=1000, moments_dtype="bfloat16_sr")
@@ -77,6 +81,7 @@ def measure(blocks_impl: str, steps: int, trials: int = 3):
     ms_per_step = best_dt / steps * 1e3
     return {
         "blocks_impl": blocks_impl,
+        **cfg_overrides,
         "ms_per_step": round(ms_per_step, 3),
         "specs_per_sec": round(steps * batch_size / best_dt, 2),
         "compile_s": round(compile_s, 1),

@@ -117,3 +117,14 @@ def test_model_fused_path_selected_and_equal(rng_np):
         return str(jaxpr).count("pallas_call")
 
     assert count_pallas(jaxpr_b.jaxpr) == count_pallas(jaxpr_a.jaxpr) + 2
+
+
+def test_contradictory_configs_raise():
+    """fuse_ln_qkv must fail loudly on configs it cannot honor instead of
+    silently running unfused (round-5 review finding)."""
+    from passt_tpu.models.passt import PaSSTConfig
+
+    with pytest.raises(NotImplementedError, match="ln_impl"):
+        PaSSTConfig(fuse_ln_qkv=True, ln_impl="fused").use_scan_blocks
+    with pytest.raises(NotImplementedError, match="attn_impl"):
+        PaSSTConfig(fuse_ln_qkv=True, attn_impl="xla").use_scan_blocks

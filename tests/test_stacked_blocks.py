@@ -131,3 +131,14 @@ def test_bf16_discipline_close_to_loop(trees, rng_np):
     lo_l, _ = m_l.apply({"params": p_loop}, x, train=False)
     lo_s, _ = m_s.apply({"params": p_stacked}, x, train=False)
     np.testing.assert_allclose(np.asarray(lo_l), np.asarray(lo_s), atol=5e-2)
+
+
+def test_stacked_rejects_unhonored_knobs():
+    """Knobs the stacked impl cannot honor raise instead of silently
+    measuring the same graph (round-5 review finding)."""
+    with pytest.raises(NotImplementedError, match="attn_impl"):
+        PaSSTConfig(**{**KW, "attn_impl": "xla"}, blocks_impl="stacked").use_scan_blocks
+    with pytest.raises(NotImplementedError, match="softmax"):
+        PaSSTConfig(**KW, blocks_impl="stacked", softmax_fp32=False).use_scan_blocks
+    with pytest.raises(NotImplementedError, match="remat"):
+        PaSSTConfig(**KW, blocks_impl="stacked", remat=True).use_scan_blocks
