@@ -14,8 +14,8 @@ Two distinct baselines — kept separate on purpose:
   prints ~88 specs/s on one RTX 2080 Ti (arXiv 2110.05069 Fig. 1 setup;
   the published recipe trains on 2x 2080 Ti, ex_audioset.py:502). Our
   ``model_speed_test`` — the same workload semantics, mel excluded —
-  measures 442.7 specs/s on one v5e chip (round 3, production config)
-  = 5.0x that anchor.
+  measures 464.2 specs/s on one v5e chip (round 5, production config)
+  = 5.3x that anchor.
 - ESTIMATED bar: BASELINE.json's ">= 2x A100/chip". No A100 number for
   this workload is published; the estimate chain is A100 ~ 2.8x a
   2080 Ti => ~250 specs/s => target 500 specs/s. ``vs_baseline`` divides
