@@ -546,6 +546,8 @@ class Experiment:
             self.single_label,
             cfg.trainer.loss_type == "masked",
             runtime=runtime,
+            device_prefetch=cfg.trainer.device_prefetch,
+            transfer_dtype=cfg.trainer.transfer_dtype,
         )
         if swa_params is not None:
             sm = evaluate(
@@ -556,6 +558,8 @@ class Experiment:
                 self.single_label,
                 cfg.trainer.loss_type == "masked",
                 runtime=runtime,
+                device_prefetch=cfg.trainer.device_prefetch,
+                transfer_dtype=cfg.trainer.transfer_dtype,
             )
             metrics.update({f"swa_{k}": v for k, v in sm.items()})
         print({"validation": metrics})

@@ -141,6 +141,31 @@ def _gather_across_processes(out, target, loss):
     )
 
 
+_DEQUANT_INT16 = jax.jit(lambda q: q.astype(jnp.float32) * (1.0 / 32768.0))
+
+
+def _check_transfer_dtype(transfer_dtype: str):
+    """Shared train/eval validation of the feed transfer dtype."""
+    if transfer_dtype not in ("float32", "int16"):
+        raise ValueError(
+            f"transfer_dtype must be 'float32' or 'int16', got {transfer_dtype!r}"
+        )
+
+
+def _quantize_wave_int16(wave) -> np.ndarray:
+    """Host-side symmetric-clip int16 quantization of a waveform batch —
+    THE single implementation shared by fit() and evaluate() so train and
+    eval transfer numerics cannot drift (scale 32768: int16-container
+    values round-trip exactly; post-augment values re-quantize with error
+    <= 2^-16 full scale). The jitted dequant twin is _DEQUANT_INT16,
+    dispatched from the MAIN thread only (multi-controller dispatch-order
+    discipline)."""
+    q = np.multiply(np.asarray(wave, np.float32), 32768.0)
+    np.rint(q, out=q)
+    np.clip(q, -32768.0, 32767.0, out=q)
+    return q.astype(np.int16)
+
+
 def evaluate(
     eval_step: Callable,
     params,
@@ -167,13 +192,8 @@ def evaluate(
     DeviceFeed thread (inline conversion), and ``transfer_dtype="int16"``
     halves the host->device bytes with the same symmetric-clip
     quantization as fit() (exact round-trip for int16-container waves)."""
-    if transfer_dtype not in ("float32", "int16"):
-        raise ValueError(
-            f"transfer_dtype must be 'float32' or 'int16', got {transfer_dtype!r}"
-        )
-    _dequant = None
-    if transfer_dtype == "int16":
-        _dequant = jax.jit(lambda q: q.astype(jnp.float32) * (1.0 / 32768.0))
+    _check_transfer_dtype(transfer_dtype)
+    _dequant = _DEQUANT_INT16 if transfer_dtype == "int16" else None
     if runtime is not None and runtime.spans_processes:
         # Multi-process: lockstep mesh eval would require identical per-rank
         # batch counts, which rank-sliced eval sets don't have (7 vs 5
@@ -197,10 +217,7 @@ def evaluate(
             # host-side quantize (feed thread); the jitted dequant is
             # dispatched from the MAIN loop below — same multi-controller
             # dispatch-order discipline as fit()'s _to_device
-            q = np.multiply(wave, 32768.0, dtype=np.float32)
-            np.rint(q, out=q)
-            np.clip(q, -32768.0, 32767.0, out=q)
-            wave = q.astype(np.int16)
+            wave = _quantize_wave_int16(wave)
         arrays = {
             "wave": wave,
             "target": batch["target"].astype(np.int32 if single_label else np.float32),
@@ -212,11 +229,11 @@ def evaluate(
             n = len(arrays["wave"])
         return dev_batch, n, np.asarray(batch["target"])
 
-    it = iter(loader)
+    base_it = iter(loader)
     if device_prefetch > 0:
-        it = DeviceFeed(it, _to_device, depth=device_prefetch)
+        it = DeviceFeed(base_it, _to_device, depth=device_prefetch)
     else:
-        it = iter((_to_device(b) for b in it))
+        it = iter((_to_device(b) for b in base_it))
     try:
         for i, (dev_batch, n, host_target) in enumerate(it):
             if limit_batches is not None and i >= limit_batches:
@@ -230,6 +247,11 @@ def evaluate(
     finally:
         if hasattr(it, "stop"):  # release the feed thread + wrapped
             it.stop()            # prefetcher on every path (prefetch > 0)
+        elif hasattr(base_it, "stop"):
+            # device_prefetch=0 hides the loader's Prefetcher behind a
+            # plain generator; stop the UNDERLYING iterator or its worker
+            # thread leaks on early exit (round-5 review finding)
+            base_it.stop()
     # This rank may have gotten zero batches (rank-sliced tiny eval set);
     # zero-row placeholders keep it alive into the gather, which recovers
     # the real trailing shapes from the non-empty ranks.
@@ -337,16 +359,8 @@ def fit(
     # Host batch -> device batch. Runs on the DeviceFeed thread when
     # device_prefetch > 0 so the wave transfer overlaps the previous step's
     # compute (the reference's pin_memory + async CUDA H2D, made explicit).
-    if transfer_dtype not in ("float32", "int16"):
-        raise ValueError(
-            f"transfer_dtype must be 'float32' or 'int16', got {transfer_dtype!r}"
-        )
-    _dequant = None
-    if transfer_dtype == "int16":
-        # scale 32768 with symmetric clip: values from int16 containers
-        # (|w| <= 32767/32768) round-trip exactly; post-augment values are
-        # re-quantized with error <= 2^-16 full scale
-        _dequant = jax.jit(lambda q: q.astype(jnp.float32) * (1.0 / 32768.0))
+    _check_transfer_dtype(transfer_dtype)
+    _dequant = _DEQUANT_INT16 if transfer_dtype == "int16" else None
 
     def _to_device(batch) -> Dict[str, Any]:
         # Runs on the DeviceFeed thread when device_prefetch > 0: host-side
@@ -357,10 +371,7 @@ def fit(
         # train_step/collective dispatches nondeterministically across ranks.
         wave = batch["wave"]
         if _dequant is not None:
-            q = np.multiply(np.asarray(wave, np.float32), 32768.0)
-            np.rint(q, out=q)
-            np.clip(q, -32768.0, 32767.0, out=q)
-            dev_wave = device_put(q.astype(np.int16))
+            dev_wave = device_put(_quantize_wave_int16(wave))
         else:
             dev_wave = device_put(wave)
         return {
@@ -547,6 +558,11 @@ def fit(
                         and host_step < dump_spectrograms
                         and mel_cfg is not None
                         and jax.process_index() == 0
+                        # multi-process: dev_batch holds GLOBAL jax.Arrays
+                        # (runtime.device_put) — a rank-0-only dispatch on
+                        # them would desync dispatch order across ranks and
+                        # np.asarray would span non-addressable devices
+                        and not (runtime is not None and runtime.spans_processes)
                     ):
                         from passt_tpu.ops.frontend import log_mel_spectrogram
 
@@ -652,12 +668,16 @@ def fit(
                     em = evaluate(
                         eval_step, state.params, loader, limit_eval_batches,
                         single_label, masked, runtime=runtime,
+                        device_prefetch=device_prefetch,
+                        transfer_dtype=transfer_dtype,
                     )
                     record.update({f"{pre}{k}": v for k, v in em.items()})
                     if swa_state is not None and swa_state.n_averaged > 0:
                         sm = evaluate(
                             eval_step, swa_state.avg_params, loader, limit_eval_batches,
                             single_label, masked, runtime=runtime,
+                            device_prefetch=device_prefetch,
+                            transfer_dtype=transfer_dtype,
                         )
                         record.update({f"{pre}swa_{k}": v for k, v in sm.items()})
 
@@ -666,6 +686,18 @@ def fit(
 
             if ckpt_mgr is not None:
                 if monitor is not None and monitor not in record:
+                    did_eval = bool(val_loaders) and (epoch + 1) % eval_every == 0
+                    if did_eval:
+                        # eval RAN and still no such key: the monitor name can
+                        # never match (e.g. bare "allap" against dual-set
+                        # "valid_allap"/"eval_allap" records) — raising here
+                        # beats a full run that silently writes ZERO
+                        # checkpoints (round-5 review finding)
+                        raise ValueError(
+                            f"trainer.monitor={monitor!r} not found in the "
+                            f"epoch record although eval ran; available "
+                            f"metric keys: {sorted(record)}"
+                        )
                     # best-metric retention requires the metric: epochs that ran
                     # no eval (eval_every gaps, empty val_loaders) are not
                     # checkpointed — same cadence as the reference's

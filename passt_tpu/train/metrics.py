@@ -93,9 +93,21 @@ def masked_mean_average_precision(
     for j in range(scores.shape[1]):
         m = mask[:, j]
         t, s = targets[m, j], scores[m, j]
-        if t.size == 0 or t.sum() == 0:
-            continue
-        aps.append(float(average_precision(t[:, None], s[:, None])[0]))
+        if t.size == 0:
+            # no observed samples at all: sklearn with an all-zero
+            # sample_weight yields nan, which the reference's plain
+            # .mean() propagates — reproduce, don't hide
+            aps.append(float("nan"))
+        elif t.sum() == 0:
+            # observed samples but no positives: sklearn scores the class
+            # 0.0 and the reference INCLUDES it in the macro mean
+            # (ex_openmic.py:241-252 runs average_precision_score for
+            # every class with sample_weight=y_mask[:, i] and takes
+            # .mean()); skipping it would inflate the reported mAP on
+            # subsampled/smoke eval sets (round-5 review finding)
+            aps.append(0.0)
+        else:
+            aps.append(float(average_precision(t[:, None], s[:, None])[0]))
     return float(np.mean(aps)) if aps else float("nan")
 
 

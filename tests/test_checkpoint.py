@@ -725,3 +725,87 @@ def test_monitor_metric_ambiguity_raises():
         res({"valid_allap": 0.1, "eval_allap": 0.2}, "allap")
     with pytest.raises(KeyError, match="not among"):
         res({"valid_allap": 0.1}, "loss")
+
+
+def test_fit_forwards_eval_feed_knobs(rng_np, monkeypatch):
+    """fit() must pass its device_prefetch/transfer_dtype feed knobs to the
+    per-epoch evaluate() calls — otherwise trainer.transfer_dtype=int16
+    silently ships float32 on the eval path (round-5 review finding)."""
+    import passt_tpu.train.loop as loop_mod
+
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    seen = []
+    real_evaluate = loop_mod.evaluate
+
+    def spy(*a, **k):
+        seen.append((k.get("device_prefetch"), k.get("transfer_dtype")))
+        return real_evaluate(*a, **k)
+
+    monkeypatch.setattr(loop_mod, "evaluate", spy)
+    fit(
+        train_step=step,
+        eval_step=ev,
+        state=state,
+        train_loader=_ListLoader(batches),
+        val_loader=_ListLoader(batches),
+        max_epochs=1,
+        base_rng=jax.random.PRNGKey(1),
+        logger=MetricsLogger(quiet=True),
+        device_prefetch=0,
+        transfer_dtype="int16",
+    )
+    assert seen and all(s == (0, "int16") for s in seen)
+
+
+def test_fit_monitor_never_matching_raises(rng_np):
+    """A monitor that can never appear in the epoch record (bare 'allap'
+    against dual-set 'valid_'/'eval_' prefixed records) must raise at the
+    first eval epoch instead of silently finishing with zero checkpoints
+    (round-5 review finding)."""
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    with pytest.raises(ValueError, match="available metric keys"):
+        fit(
+            train_step=step,
+            eval_step=ev,
+            state=state,
+            train_loader=_ListLoader(batches),
+            val_loaders={"valid": _ListLoader(batches), "eval": _ListLoader(batches)},
+            max_epochs=1,
+            base_rng=jax.random.PRNGKey(1),
+            checkpoint_dir="/tmp/never_used_ckpt_dir",
+            monitor="allap",
+            logger=MetricsLogger(quiet=True),
+        )
+
+
+def test_evaluate_prefetch0_stops_underlying_prefetcher(rng_np):
+    """device_prefetch=0 wraps the loader iterator in a plain generator;
+    early exit must still stop() the UNDERLYING prefetching iterator or
+    its worker thread leaks (round-5 review finding)."""
+    from passt_tpu.train.loop import evaluate
+
+    cfg, tx, model, state, step, ev, batches = _setup(rng_np)
+    stopped = []
+
+    class _StoppableIter:
+        def __init__(self, items):
+            self._it = iter(items)
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            return next(self._it)
+
+        def stop(self):
+            stopped.append(True)
+
+    class _Loader:
+        def __iter__(self):
+            return _StoppableIter(batches)
+
+        def __len__(self):
+            return len(batches)
+
+    evaluate(ev, state.params, _Loader(), limit_batches=1, device_prefetch=0)
+    assert stopped  # the wrapped iterator's stop() was reached

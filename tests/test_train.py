@@ -445,3 +445,40 @@ def test_evaluate_empty_loader_fails_clearly():
 
     with pytest.raises(ValueError, match="no eval batches"):
         evaluate(lambda p, b: None, {}, loader=[])
+
+
+def test_masked_map_zero_positive_class_counts_as_zero():
+    """A class with observed samples but no observed positives contributes
+    AP 0.0 to the macro mean (the reference runs sklearn
+    average_precision_score with sample_weight=y_mask for EVERY class and
+    takes a plain .mean(), ex_openmic.py:241-252); skipping it would
+    inflate the reported mAP (round-5 review finding)."""
+    import numpy as np
+
+    from passt_tpu.train.metrics import masked_mean_average_precision
+
+    rng = np.random.default_rng(0)
+    n = 40
+    labels = np.zeros((n, 3))
+    labels[:, 0] = (rng.uniform(size=n) < 0.4)  # normal class
+    # class 1: observed everywhere, zero positives
+    # class 2: normal
+    labels[:, 2] = (rng.uniform(size=n) < 0.4)
+    scores = rng.uniform(size=(n, 3))
+    mask = np.ones((n, 3))
+    ours = masked_mean_average_precision(labels, scores, mask)
+
+    from sklearn import metrics as skm
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = np.mean(
+            [
+                skm.average_precision_score(
+                    labels[:, j], scores[:, j], sample_weight=mask[:, j]
+                )
+                for j in range(3)
+            ]
+        )
+    np.testing.assert_allclose(ours, ref, rtol=1e-9)
