@@ -203,8 +203,14 @@ def _decode_wav(buf: np.ndarray, target_rate: Optional[int] = None) -> np.ndarra
         if rate % target_rate == 0:
             x = stride_resample(x, target_rate, source_rate=rate)
         else:
-            t_new = np.arange(int(round(len(x) * target_rate / rate))) * (rate / target_rate)
-            x = np.interp(t_new, np.arange(len(x)), x).astype(np.float32)
+            # anti-aliased polyphase resample (prepare/wavdec.resample —
+            # THE one resampler): plain np.interp here aliased all energy
+            # above the new Nyquist back into band for 44.1k->32k inputs
+            # (round-5 review finding; the reference's librosa.load(sr=)
+            # is a windowed-sinc resample too)
+            from passt_tpu.data.prepare.wavdec import resample
+
+            x = resample(x, rate, target_rate)
     return x
 
 

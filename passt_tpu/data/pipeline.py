@@ -97,6 +97,8 @@ class DataLoader:
     def set_epoch(self, epoch: int) -> None:
         if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
+        if self.batch_sampler is not None and hasattr(self.batch_sampler, "set_epoch"):
+            self.batch_sampler.set_epoch(epoch)
         from passt_tpu.data.datasets import set_epoch_recursive
 
         set_epoch_recursive(self.dataset, epoch)
@@ -160,28 +162,23 @@ def _stop_live_prefetchers() -> None:
             pass
 
 
-class DeviceFeed:
-    """Host->device transfer pipelining: a background thread converts and
-    ``device_put``s batch k+1 while the main thread's step k computes.
+class Prefetcher:
+    """Background-thread prefetch with a bounded queue.
 
-    Measured motivation (scripts/ab_fit_gap.py, real chip): the production
-    fit() loop ran at 30.4 specs/s vs 422.4 for the identical per-dispatch
-    step on a device-resident batch — the entire gap is the synchronous
-    15.36 MB wave transfer (~355 ms at the tunnel's ~43 MB/s), which used
-    to serialize with the 28.4 ms step. With the transfer on its own
-    thread the steady state becomes max(transfer, compute, load) instead
-    of their sum. (The reference gets the same overlap from torch
-    DataLoader pin_memory + CUDA async H2D; this is the explicit
-    TPU-native equivalent.)
+    ``convert`` (optional) maps each item on the worker thread before it is
+    queued — :class:`DeviceFeed` uses this for host->device transfer.
 
-    ``convert`` maps a host batch to its device form (dtype casts +
-    device_put / mesh sharding). jnp.asarray releases the GIL during the
-    copy, so the overlap is real even with Python threads.
-    """
+    Call :meth:`stop` (or break out via a ``closing``-style pattern) when
+    abandoning the iterator early — otherwise the worker thread would stay
+    blocked on the bounded queue holding batches and file handles
+    (limit_train_batches/limit_eval_batches break mid-stream every epoch).
+    ``stop`` also forwards to the wrapped iterator's own ``stop`` when it
+    has one (a DeviceFeed wrapping a Prefetcher releases both threads)."""
 
     _DONE = object()
 
-    def __init__(self, iterator, convert: Callable, depth: int = 2):
+    def __init__(self, iterator: Iterator, depth: int = 2,
+                 convert: Optional[Callable] = None, name: str = "prefetch"):
         self._inner = iterator
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self.error: Optional[BaseException] = None
@@ -190,82 +187,8 @@ class DeviceFeed:
         def worker():
             try:
                 for item in iterator:
-                    dev = convert(item)
-                    while not self._stopped:
-                        try:
-                            self.q.put(dev, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if self._stopped:
-                        return
-            except BaseException as e:
-                self.error = e
-            finally:
-                while not self._stopped:
-                    try:
-                        self.q.put(self._DONE, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-
-        self.thread = threading.Thread(
-            target=worker, daemon=True, name="device-feed"
-        )
-        self.thread.start()
-        _LIVE_PREFETCHERS.add(self)
-
-    def stop(self) -> None:
-        """Release the feed thread AND the wrapped host iterator."""
-        self._stopped = True
-        while True:
-            try:
-                self.q.get_nowait()
-            except queue.Empty:
-                break
-        if hasattr(self._inner, "stop"):
-            self._inner.stop()
-        self.thread.join(timeout=5.0)
-
-    def __iter__(self):
-        return self
-
-    def __next__(self):
-        while True:
-            try:
-                item = self.q.get(timeout=5.0)
-                break
-            except queue.Empty:
-                if not self.thread.is_alive():
-                    if self.error is not None:
-                        raise self.error
-                    raise StopIteration
-        if item is self._DONE:
-            self.thread.join(timeout=5.0)
-            if self.error is not None:
-                raise self.error
-            raise StopIteration
-        return item
-
-
-class Prefetcher:
-    """Background-thread prefetch with a bounded queue.
-
-    Call :meth:`stop` (or break out via a ``closing``-style pattern) when
-    abandoning the iterator early — otherwise the worker thread would stay
-    blocked on the bounded queue holding batches and file handles
-    (limit_train_batches/limit_eval_batches break mid-stream every epoch)."""
-
-    _DONE = object()
-
-    def __init__(self, iterator: Iterator, depth: int = 2):
-        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
-        self.error: Optional[BaseException] = None
-        self._stopped = False
-
-        def worker():
-            try:
-                for item in iterator:
+                    if convert is not None:
+                        item = convert(item)
                     while not self._stopped:
                         try:
                             self.q.put(item, timeout=0.1)
@@ -288,18 +211,21 @@ class Prefetcher:
                     except queue.Full:
                         continue
 
-        self.thread = threading.Thread(target=worker, daemon=True)
+        self.thread = threading.Thread(target=worker, daemon=True, name=name)
         self.thread.start()
         _LIVE_PREFETCHERS.add(self)
 
     def stop(self) -> None:
-        """Release the worker thread and drop queued batches."""
+        """Release the worker thread, drop queued batches, and stop the
+        wrapped iterator (when it is stoppable)."""
         self._stopped = True
         while True:
             try:
                 self.q.get_nowait()
             except queue.Empty:
                 break
+        if hasattr(self._inner, "stop"):
+            self._inner.stop()
         # Let an in-flight read finish so the daemon thread is not killed
         # inside an h5py/C call at interpreter teardown (observed exit hang).
         self.thread.join(timeout=5.0)
@@ -336,3 +262,33 @@ class Prefetcher:
                 raise self.error
             raise StopIteration
         return item
+
+
+class DeviceFeed(Prefetcher):
+    """Host->device transfer pipelining: a background thread converts and
+    ``device_put``s batch k+1 while the main thread's step k computes.
+
+    Measured motivation (scripts/ab_fit_gap.py, real chip): the production
+    fit() loop ran at 30.4 specs/s vs 422.4 for the identical per-dispatch
+    step on a device-resident batch — the entire gap is the synchronous
+    15.36 MB wave transfer (~355 ms at the tunnel's ~43 MB/s), which used
+    to serialize with the 28.4 ms step. With the transfer on its own
+    thread the steady state becomes max(transfer, compute, load) instead
+    of their sum. (The reference gets the same overlap from torch
+    DataLoader pin_memory + CUDA async H2D; this is the explicit
+    TPU-native equivalent.)
+
+    ``convert`` maps a host batch to its device form (dtype casts +
+    device_put / mesh sharding). jnp.asarray releases the GIL during the
+    copy, so the overlap is real even with Python threads.
+
+    All the threading machinery (bounded queue, DONE-sentinel retry loop,
+    drain-then-join stop, the teardown-deadlock join in ``__next__``) is
+    :class:`Prefetcher`'s — one implementation, maintained once
+    (round-5 review finding: the two classes had drifted copies).
+    """
+
+    def __init__(self, iterator, convert: Callable, depth: int = 2):
+        super().__init__(iterator, depth=depth, convert=convert, name="device-feed")
+
+

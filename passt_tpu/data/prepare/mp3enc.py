@@ -55,6 +55,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.lame_encode_buffer.restype = ctypes.c_int
     lib.lame_encode_flush.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.lame_encode_flush.restype = ctypes.c_int
+    lib.lame_get_lametag_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t
+    ]
+    lib.lame_get_lametag_frame.restype = ctypes.c_size_t
     lib.lame_close.argtypes = [ctypes.c_void_p]
     _lame = lib
     return lib
@@ -105,6 +109,20 @@ def encode_mp3(
         m = lib.lame_encode_flush(gfp, tail, len(tail))
         if m < 0:
             raise RuntimeError(f"lame_encode_flush error {m}")
-        return out.raw[:n] + tail.raw[:m]
+        data = bytearray(out.raw[:n] + tail.raw[:m])
+        # Finalize the Xing/Info (LAME) header frame: lame emits a
+        # PLACEHOLDER first frame during encoding and expects the caller
+        # to overwrite it with the finalized tag after flush — the tag
+        # carries the encoder delay/padding that lets decoders (libmpg123,
+        # ffmpeg) gapless-trim. Without this, decoded audio gains ~44 ms
+        # of leading silence and ~2.8k trailing samples, so self-packed
+        # containers would disagree with reference ffmpeg-made ones and
+        # with their own length_samples column (round-5 review finding,
+        # verified empirically).
+        tag = ctypes.create_string_buffer(2880)
+        sz = lib.lame_get_lametag_frame(gfp, tag, len(tag))
+        if 0 < sz <= len(data):
+            data[:sz] = tag.raw[:sz]
+        return bytes(data)
     finally:
         lib.lame_close(gfp)

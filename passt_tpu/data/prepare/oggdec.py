@@ -106,7 +106,10 @@ def decode_ogg(path: str) -> Tuple[np.ndarray, int]:
                     raise ValueError(f"ov_read failed ({n}) on {path}")
                 continue
             errs = 0
-            chunks.append(np.frombuffer(buf.raw[:n], dtype="<i2").copy())
+            # one copy, not three: buf.raw materializes the whole 64 KB
+            # buffer and [:n] copies again; frombuffer reads the ctypes
+            # memory directly and .copy() detaches from the reused buffer
+            chunks.append(np.frombuffer(buf, dtype="<i2", count=n // 2).copy())
         if not chunks:
             raise ValueError(f"no audio decoded from {path}")
         pcm = np.concatenate(chunks).astype(np.float32) / 32768.0

@@ -40,32 +40,18 @@ def pack_waveform_hdf5(
     packed_targets: bool = True,
 ) -> int:
     """items: iterable of (name, waveform float32 [-1,1], target multi-hot).
-    Writes columns audio_name / raw_i16 (vlen) / target. Returns count."""
-    import h5py
-
-    names, waves, targets = [], [], []
-    for name, wave, target in items:
-        names.append(name.encode() if isinstance(name, str) else name)
-        w = np.clip(np.asarray(wave, dtype=np.float32), -1.0, 1.0)
-        waves.append((w * 32767.0).astype(np.int16).view(np.uint8))
-        targets.append(target)
-    targets = _pack_targets(np.stack(targets), packed_targets)
-
-    with h5py.File(out_path, "w") as f:
-        f.create_dataset("audio_name", data=_names_array(names))
-        dt = h5py.vlen_dtype(np.uint8)
-        ds = f.create_dataset("raw_i16", shape=(len(waves),), dtype=dt)
-        for i, w in enumerate(waves):
-            ds[i] = w
-        f.create_dataset("target", data=targets)
-        # per-clip sample counts: drives length-grouped exact eval without
-        # touching the audio rows
-        f.create_dataset(
-            "length_samples",
-            data=np.asarray([len(w) // 2 for w in waves], np.int64),
-        )
-        f.attrs["sample_rate"] = sample_rate
-    return len(waves)
+    Writes columns audio_name / raw_i16 (vlen) / target / length_samples.
+    A thin loop over :class:`StreamingPacker` — ONE writer of the
+    container schema (round-5 review finding: three independent writers
+    of the same layout had already drifted on length_samples)."""
+    with StreamingPacker(
+        out_path, column="raw_i16", sample_rate=sample_rate,
+        packed_targets=packed_targets,
+    ) as p:
+        for name, wave, target in items:
+            p.add_waveform(name, wave, target)
+        n = len(p._names)
+    return n
 
 
 class StreamingPacker:
@@ -166,27 +152,20 @@ def pack_bytes_hdf5(
     reference's mp3 HDF5s (audio_name S-col, vlen uint8 bytes, targets).
     ``lengths`` (decoded sample counts, known to the encoder) additionally
     writes the ``length_samples`` column that enables length-grouped exact
-    eval on encoded containers."""
-    import h5py
-
-    names, blobs, targets = [], [], []
-    for name, blob, target in items:
-        names.append(name.encode() if isinstance(name, str) else name)
-        blobs.append(np.frombuffer(blob, dtype=np.uint8))
-        targets.append(target)
-    targets = _pack_targets(np.stack(targets), packed_targets)
-
-    with h5py.File(out_path, "w") as f:
-        f.create_dataset("audio_name", data=_names_array(names))
-        dt = h5py.vlen_dtype(np.uint8)
-        ds = f.create_dataset(column, shape=(len(blobs),), dtype=dt)
-        for i, b in enumerate(blobs):
-            ds[i] = b
-        f.create_dataset("target", data=targets)
-        if lengths is not None:
-            ln = np.asarray(list(lengths), np.int64)
-            if len(ln) != len(blobs):
-                raise ValueError("lengths must match items")
-            f.create_dataset("length_samples", data=ln)
-        f.attrs["sample_rate"] = sample_rate
-    return len(blobs)
+    eval on encoded containers. A thin loop over :class:`StreamingPacker`
+    (one schema writer)."""
+    items = list(items)
+    if lengths is not None:
+        lengths = list(lengths)
+        if len(lengths) != len(items):
+            raise ValueError("lengths must match items")
+    with StreamingPacker(
+        out_path, column=column, sample_rate=sample_rate,
+        packed_targets=packed_targets,
+    ) as p:
+        for i, (name, blob, target) in enumerate(items):
+            p.add_bytes(
+                name, blob, target,
+                length_samples=None if lengths is None else lengths[i],
+            )
+    return len(items)

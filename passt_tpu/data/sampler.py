@@ -90,9 +90,15 @@ class WeightedEpochSampler:
         return min(self.epoch_len, len(self.weights))
 
     def __len__(self) -> int:
-        # ceil-division slice length (torch DistributedSampler pads; the
-        # reference slices the raw list -> ranks may differ by one).
-        return (self._draw_len - self.rank + self.num_replicas - 1) // self.num_replicas
+        # Every rank gets EXACTLY draw_len // num_replicas items: the raw
+        # reference slice (openmic/dataset.py:316) lets ranks differ by
+        # one, which under the collective train step means the longer rank
+        # dispatches a step + stop-agreement all-gather the others never
+        # join — a distributed hang (round-5 review finding). Trimming the
+        # remainder (< num_replicas items/epoch) keeps per-rank batch
+        # counts identical; eval's SequentialSampler stays ragged on
+        # purpose (the eval gather pads unequal shards).
+        return self._draw_len // self.num_replicas if self.num_replicas > 1 else self._draw_len
 
     def _draw(self, rng: np.random.Generator) -> np.ndarray:
         n = len(self.weights)
@@ -110,7 +116,8 @@ class WeightedEpochSampler:
     def __iter__(self) -> Iterator[int]:
         rng = np.random.default_rng(self.seed + self.epoch)
         indices = self._draw(rng)
-        return iter(indices[self.rank :: self.num_replicas].tolist())
+        sl = indices[self.rank :: self.num_replicas]
+        return iter(sl[: len(self)].tolist())
 
 
 class SequentialSampler:
@@ -144,12 +151,14 @@ class ShuffleSampler:
         self.epoch = epoch
 
     def __len__(self):
-        return (self.n - self.rank + self.num_replicas - 1) // self.num_replicas
+        # equal per-rank counts (see WeightedEpochSampler.__len__)
+        return self.n // self.num_replicas if self.num_replicas > 1 else self.n
 
     def __iter__(self):
         rng = np.random.default_rng(self.seed + self.epoch)
         perm = rng.permutation(self.n)
-        return iter(perm[self.rank :: self.num_replicas].tolist())
+        sl = perm[self.rank :: self.num_replicas]
+        return iter(sl[: len(self)].tolist())
 
 
 class LengthGroupedBatchSampler:

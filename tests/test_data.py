@@ -817,3 +817,68 @@ def test_hostplane_env_override_must_exist(monkeypatch):
     monkeypatch.setenv("PASST_TPU_HOSTPLANE", "/nonexistent/libhostplane.so")
     with pytest.raises(FileNotFoundError, match="PASST_TPU_HOSTPLANE"):
         native._lib_path()
+
+
+def test_decode_wav_noninteger_resample_antialiases():
+    """44.1 kHz -> 32 kHz runtime resample must low-pass: a 21 kHz tone
+    (above the 16 kHz target Nyquist) must come out attenuated to near
+    silence, not aliased into band as plain linear interpolation did
+    (round-5 review finding; matches the reference's librosa.load(sr=...)
+    windowed-sinc behavior)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from passt_tpu.data.datasets import decode_wav
+
+    sr = 44100
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 21000 * t)).astype(np.float32)
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((tone * 32767).astype(np.int16).tobytes())
+    payload = np.frombuffer(buf.getvalue(), np.uint8)
+    out = decode_wav(payload, target_rate=32000)
+    assert abs(len(out) - 32000) <= 2
+    # aliased linear-interp kept ~70% of the tone's RMS; the polyphase
+    # filter must kill it
+    assert float(np.sqrt(np.mean(out**2))) < 0.02
+
+
+def test_train_samplers_equal_per_rank_counts():
+    """Train samplers must give EVERY rank the same item count even when
+    draw_len % num_replicas != 0 — an extra item on rank 0 becomes an
+    extra collective train step the other ranks never join (distributed
+    hang; round-5 review finding). Eval's SequentialSampler deliberately
+    stays ragged (the gather pads)."""
+    from passt_tpu.data.sampler import (
+        SequentialSampler,
+        ShuffleSampler,
+        WeightedEpochSampler,
+    )
+
+    weights = np.ones(50)
+    for n_rep, epoch_len in ((3, 100), (4, 49), (2, 7)):
+        counts = []
+        for r in range(n_rep):
+            s = WeightedEpochSampler(
+                weights, epoch_len=epoch_len, num_replicas=n_rep, rank=r, seed=1
+            )
+            items = list(s)
+            assert len(items) == len(s)
+            counts.append(len(items))
+        assert len(set(counts)) == 1, (n_rep, epoch_len, counts)
+
+        sh_counts = [
+            len(list(ShuffleSampler(epoch_len, num_replicas=n_rep, rank=r)))
+            for r in range(n_rep)
+        ]
+        assert len(set(sh_counts)) == 1
+
+    # eval sampler keeps full ragged coverage
+    ev = [len(list(SequentialSampler(7, num_replicas=2, rank=r))) for r in range(2)]
+    assert sum(ev) == 7

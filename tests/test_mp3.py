@@ -189,10 +189,14 @@ def test_lame_encoder_roundtrip():
     assert len(blob) > 10000
     dec, rate = native.decode_mp3(blob)
     assert rate == 32000
+    # The finalized LAME/Info tag (round 5) carries the encoder
+    # delay/padding, so libmpg123 gapless-trims: EXACT length, ZERO lag —
+    # the same contract reference ffmpeg-made containers satisfy.
+    assert len(dec) == len(wave)
+    # zero-lag alignment (a lag-argmax is ambiguous on a periodic sine):
+    # the decoded signal must correlate >0.999 with NO shift applied
     n = 32000
-    c = np.correlate(dec[: n * 2].astype(np.float64), wave[:n].astype(np.float64), "valid")
-    lag = int(np.argmax(c))
-    corr = np.corrcoef(dec[lag : lag + n], wave[:n])[0, 1]
+    corr = np.corrcoef(dec[:n], wave[:n])[0, 1]
     assert corr > 0.999
 
 
