@@ -253,6 +253,17 @@ class PaSSTConfig:
                     "blocks_impl='stacked' has a hand-written backward; "
                     "remat is not honored — use 'loop' or 'scan'"
                 )
+            if self.fuse_ln_qkv:
+                raise NotImplementedError(
+                    "blocks_impl='stacked' ignores fuse_ln_qkv (its own "
+                    "fused norms are hand-written); A/B fuse_ln_qkv under "
+                    "'loop'"
+                )
+            if self.use_fused_ln:
+                raise NotImplementedError(
+                    "blocks_impl='stacked' ignores ln_impl='fused' for "
+                    "block norms — use 'loop'"
+                )
         if self.fuse_ln_qkv:
             # definitively-contradictory combinations raise; the 'auto'
             # off-TPU / geometry cases remain runtime gates like
@@ -929,6 +940,7 @@ class PaSST(nn.Module):
                 head_dim ** -0.5,
                 jax.default_backend() != "tpu",
                 cfg.gelu_approximate,
+                train,
             )
         elif cfg.use_scan_blocks:
             # One Block, scanned over stacked [depth, ...] params: the

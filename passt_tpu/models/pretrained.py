@@ -341,6 +341,15 @@ def load_pretrained_params(path: str, cfg: PaSSTConfig, init_params: dict) -> di
     layout ``init_params`` (the built model) uses."""
     if path.endswith(".npz"):
         return _match_block_layout(load_params_npz(path), init_params)
+    import os
+
+    if os.path.isdir(path):
+        raise ValueError(
+            f"checkpoint_path {path!r} is a directory — this loader takes a "
+            "ported .npz or a torch .pt file. Orbax training checkpoint "
+            "directories are restored via trainer.checkpoint_dir / "
+            "passt_tpu.train.loop.restore_checkpoint instead."
+        )
     sd = load_torch_checkpoint(path)
     converted = convert_torch_state_dict(sd, cfg, init_params=init_params)
     return _match_block_layout(converted, init_params)

@@ -186,7 +186,10 @@ def get_model(
 
     ``pretrained=True`` requires ``checkpoint_path`` pointing at either a
     torch ``.pt`` state dict (converted on the fly) or a previously saved
-    converted ``.npz``/orbax dir; this framework does not download."""
+    converted ``.npz`` tree (scripts/port_checkpoint.py) or the original
+    torch ``.pt``; this framework does not download. (Orbax TRAINING
+    checkpoints are restored through the training loop's
+    restore_checkpoint, not through this inference-weights path.)"""
     cfg = get_model_config(arch, **overrides)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     model, params = init_passt(cfg, rng)

@@ -51,6 +51,8 @@ from passt_tpu.ops.pallas.attention import (
     _flat_attn_bwd,
     _flat_attn_fwd,
     flat_kernel_supports,
+    fused_attention,
+    kernel_supports,
 )
 from passt_tpu.ops.pallas.ln_qkv import ln_stats
 
@@ -111,16 +113,25 @@ def _dense(x, kernel, bias):
     return y
 
 
-def _attn_fwd(qkv, heads, head_dim, scale, plus1, interpret):
-    """Flat-kernel attention forward with the module's einsum fallback."""
+def _attn_fwd(qkv, heads, head_dim, scale, plus1, interpret, backward):
+    """Attention forward with the module path's exact 3-way kernel
+    selection (flat -> [B,H,N,D] kernel -> einsum; models/passt.py
+    Attention): ``backward`` is the train flag, so eval graphs get the
+    forward-only gates — including the scoped-VMEM output guard the flat
+    gate applies via ``batch`` — and eval lengths past the flat frontier
+    still take the [B,H,N,D] kernel instead of the materialized einsum
+    (round-5 review finding)."""
     b, n, _ = qkv.shape
     if flat_kernel_supports(
-        n, heads, head_dim, backward=True, itemsize=qkv.dtype.itemsize, batch=b
+        n, heads, head_dim, backward=backward, itemsize=qkv.dtype.itemsize,
+        batch=b,
     ):
         return _flat_attn_fwd(qkv, heads, head_dim, scale, plus1, interpret)[0]
-    q, k, v = (
-        qkv.reshape(b, n, 3, heads, head_dim)[:, :, i] for i in range(3)
-    )
+    qkv5 = qkv.reshape(b, n, 3, heads, head_dim)
+    q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]  # [B, N, H, D]
+    if kernel_supports(n, head_dim, backward=backward):
+        o = fused_attention(q, k, v, scale=scale, plus1=plus1, interpret=interpret)
+        return o.reshape(b, n, heads * head_dim)
     s = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * jnp.float32(scale)
     if plus1:
         s = jnp.concatenate([s, jnp.zeros(s.shape[:-1] + (1,), s.dtype)], -1)
@@ -148,24 +159,24 @@ def stacked_param_shapes(depth, c, mlp_hidden, qkv_bias=True):
     }
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def stacked_blocks_apply(params, x, heads, plus1, att_scale, interpret, gelu_approximate=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def stacked_blocks_apply(params, x, heads, plus1, att_scale, interpret, gelu_approximate=True, train=False):
     """Unrolled pre-norm block stack over stacked [depth, ...] params.
 
     ``params``: the stacked subtree (see :func:`stacked_param_shapes`).
     ``x``: [B, N, C] residual stream in the compute dtype.
     """
-    return _stacked_fwd(params, x, heads, plus1, att_scale, interpret, gelu_approximate)[0]
+    return _stacked_fwd(params, x, heads, plus1, att_scale, interpret, gelu_approximate, train)[0]
 
 
-def _block_fwd(p, x, heads, plus1, att_scale, interpret, gelu_approximate):
+def _block_fwd(p, x, heads, plus1, att_scale, interpret, gelu_approximate, train):
     """One block forward; returns (out, residuals-for-backward)."""
     c = x.shape[-1]
     head_dim = c // heads
     xn1_f, mu1, rstd1 = _ln_fwd(x, p["norm1"]["scale"], p["norm1"]["bias"])
     xn1 = xn1_f.astype(x.dtype)
     qkv = _dense(xn1, p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"])
-    a = _attn_fwd(qkv, heads, head_dim, att_scale, plus1, interpret)
+    a = _attn_fwd(qkv, heads, head_dim, att_scale, plus1, interpret, train)
     h = _dense(a, p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"])
     x2 = x + h
     xn2_f, mu2, rstd2 = _ln_fwd(x2, p["norm2"]["scale"], p["norm2"]["bias"])
@@ -181,12 +192,12 @@ def _block_fwd(p, x, heads, plus1, att_scale, interpret, gelu_approximate):
     return out, res
 
 
-def _stacked_fwd(params, x, heads, plus1, att_scale, interpret, gelu_approximate):
+def _stacked_fwd(params, x, heads, plus1, att_scale, interpret, gelu_approximate, train):
     depth = params["norm1"]["scale"].shape[0]
     saved = []
     for l in range(depth):
         p_l = jax.tree.map(lambda w: w[l], params)
-        x, res = _block_fwd(p_l, x, heads, plus1, att_scale, interpret, gelu_approximate)
+        x, res = _block_fwd(p_l, x, heads, plus1, att_scale, interpret, gelu_approximate, train)
         saved.append(res)
     # Stack each residual family [depth, ...] — XLA lays the per-block
     # producers out to write their stack slices directly (concat fusion);
@@ -195,7 +206,7 @@ def _stacked_fwd(params, x, heads, plus1, att_scale, interpret, gelu_approximate
     return x, (params, stacked_res)
 
 
-def _stacked_bwd(heads, plus1, att_scale, interpret, gelu_approximate, resids, dy):
+def _stacked_bwd(heads, plus1, att_scale, interpret, gelu_approximate, train, resids, dy):
     params, r = resids
     depth = params["norm1"]["scale"].shape[0]
     c = dy.shape[-1]

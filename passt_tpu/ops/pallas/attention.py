@@ -255,6 +255,33 @@ def _fused_attn_fwd(q, k, v, scale, plus1, interpret):
     return o, (q, k, v)
 
 
+def _xla_attn_bwd(q, k, v, do, scale, plus1):
+    """Plain-XLA attention backward in the [B, N, H, D] layout — THE one
+    fallback implementation shared by both custom kernels' past-VMEM
+    paths (round-5 review finding: two drifting ~20-line copies).
+    HIGHEST precision: default lowers fp32 dots to single-pass bf16 on
+    the MXU, which would break the fp32-score contract. Slower than the
+    kernels, never wrong."""
+    ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    qf, kf, vf, dof = (x.astype(jnp.float32) for x in (q, k, v, do))
+    s = ein("bnhd,bmhd->bhnm", qf, kf) * jnp.float32(scale)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    if plus1:
+        m = jnp.maximum(m, 0.0)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if plus1:
+        l = l + jnp.exp(-m)
+    pn = p / l
+    dp = ein("bnhd,bmhd->bhnm", dof, vf)
+    di = jnp.sum(pn * dp, axis=-1, keepdims=True)
+    ds = pn * (dp - di) * jnp.float32(scale)
+    dq = ein("bhnm,bmhd->bnhd", ds, kf).astype(q.dtype)
+    dk = ein("bhnm,bnhd->bmhd", ds, qf).astype(k.dtype)
+    dv = ein("bhnm,bnhd->bmhd", pn, dof).astype(v.dtype)
+    return dq, dk, dv
+
+
 def _fused_attn_bwd(scale, plus1, interpret, res, do):
     q, k, v = res
     (b, h, n, d), cost, params = _common(q, 8)
@@ -262,29 +289,14 @@ def _fused_attn_bwd(scale, plus1, interpret, res, do):
         # Geometry past the backward kernel's VMEM ceiling — reachable via
         # jax.grad through an eval-mode apply (the module gates kernel
         # selection on backward=train, so e.g. saliency maps at eval
-        # N=1190 take the fused FORWARD): recompute the same math as plain
-        # XLA ops in fp32. Slower than the kernel, never wrong.
-        # HIGHEST precision: default lowers fp32 dots to single-pass bf16
-        # on the MXU, which would break the fp32-score contract.
-        ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
-        qf, kf, vf, dof = (x.astype(jnp.float32) for x in (q, k, v, do))
-        s = ein("bhnd,bhmd->bhnm", qf, kf) * jnp.float32(scale)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        if plus1:
-            m = jnp.maximum(m, 0.0)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        if plus1:
-            l = l + jnp.exp(-m)
-        pn = p / l
-        dp = ein("bhnd,bhmd->bhnm", dof, vf)
-        di = jnp.sum(pn * dp, axis=-1, keepdims=True)
-        ds = pn * (dp - di) * jnp.float32(scale)
-        return (
-            ein("bhnm,bhmd->bhnd", ds, kf).astype(q.dtype),
-            ein("bhnm,bhnd->bhmd", ds, qf).astype(k.dtype),
-            ein("bhnm,bhnd->bhmd", pn, dof).astype(v.dtype),
+        # N=1190 take the fused FORWARD). Operands here are [B, H, N, D];
+        # the shared fallback speaks [B, N, H, D] — transpose around it
+        # (this path is rare and already off the fast kernels).
+        qt, kt, vt, dot = (
+            jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v, do)
         )
+        dq, dk, dv = _xla_attn_bwd(qt, kt, vt, dot, scale, plus1)
+        return tuple(jnp.transpose(x, (0, 2, 1, 3)) for x in (dq, dk, dv))
     kernel = functools.partial(
         _bwd_kernel, scale=scale, plus1=plus1, precision=_precision_for(q.dtype)
     )
@@ -453,26 +465,13 @@ def _flat_attn_bwd(heads, head_dim, scale, plus1, interpret, res, do):
     ):
         # Reachable only by differentiating through a forward that was
         # selected with backward=False gating (saliency through eval):
-        # recompute with plain XLA ops — slower, never wrong.
-        ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
-        qkv5 = qkv.reshape(b, n, 3, heads, head_dim).astype(jnp.float32)
-        qf, kf, vf = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
-        dof = do.reshape(b, n, heads, head_dim).astype(jnp.float32)
-        s = ein("bnhd,bmhd->bhnm", qf, kf) * jnp.float32(scale)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        if plus1:
-            m = jnp.maximum(m, 0.0)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        if plus1:
-            l = l + jnp.exp(-m)
-        pn = p / l
-        dp = ein("bnhd,bmhd->bhnm", dof, vf)
-        di = jnp.sum(pn * dp, axis=-1, keepdims=True)
-        ds = pn * (dp - di) * jnp.float32(scale)
-        dq = ein("bhnm,bmhd->bnhd", ds, kf)
-        dk = ein("bhnm,bnhd->bmhd", ds, qf)
-        dv = ein("bhnm,bnhd->bmhd", pn, dof)
+        # the shared _xla_attn_bwd fallback, with the flat<->[B,N,H,D]
+        # reshape glue here.
+        qkv5 = qkv.reshape(b, n, 3, heads, head_dim)
+        dq, dk, dv = _xla_attn_bwd(
+            qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2],
+            do.reshape(b, n, heads, head_dim), scale, plus1,
+        )
         dqkv = jnp.stack([dq, dk, dv], axis=2).reshape(b, n, c3)
         return (dqkv.astype(qkv.dtype),)
     kernel = functools.partial(

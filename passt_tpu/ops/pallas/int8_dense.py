@@ -152,15 +152,17 @@ def int8_dense(x, w, b):
 
 
 def _int8_dense_fwd(x, w, b):
-    return int8_dense(x, w, b), (x, w)
+    return int8_dense(x, w, b), (x, w, b)
 
 
 def _int8_dense_bwd(res, g):
-    x, w = res
+    x, w, b = res
     gf = g
     dx = jnp.dot(gf, w.T).astype(x.dtype)
     dw = jnp.dot(x.T, gf).astype(w.dtype)
-    db = jnp.sum(gf.astype(jnp.float32), axis=0).astype(jnp.float32)
+    # db in b.dtype: the grad pytree must mirror the param pytree's
+    # dtypes like dx/dw already do (round-5 review finding)
+    db = jnp.sum(gf.astype(jnp.float32), axis=0).astype(b.dtype)
     return dx, dw, db
 
 
@@ -183,15 +185,15 @@ def _int8_dense_gelu_fwd(x, w, b):
     h, d = _call_quantized(
         x, w, b, gelu=True, out_dtype=x.dtype, interpret=_interpret_default()
     )
-    return h, (x, w, d)
+    return h, (x, w, b, d)
 
 
 def _int8_dense_gelu_bwd(res, g):
-    x, w, d = res
+    x, w, b, d = res
     gz = (g.astype(jnp.float32) * d.astype(jnp.float32)).astype(g.dtype)
     dx = jnp.dot(gz, w.T).astype(x.dtype)
     dw = jnp.dot(x.T, gz).astype(w.dtype)
-    db = jnp.sum(gz.astype(jnp.float32), axis=0).astype(jnp.float32)
+    db = jnp.sum(gz.astype(jnp.float32), axis=0).astype(b.dtype)
     return dx, dw, db
 
 

@@ -96,11 +96,20 @@ def ln_qkv_supports(
 
 def ln_stats(xf: jnp.ndarray, eps: float):
     """fp32 fast-variance LN statistics (flax nn.LayerNorm defaults:
-    ``var = E[x^2] - E[x]^2``). THE single implementation — the fused
-    kernels, the stacked-blocks stack, and the module-path inline
-    fallback all import this so the formula cannot drift."""
+    ``var = max(0, E[x^2] - E[x]^2)``). THE single implementation — the
+    fused kernels, the stacked-blocks stack, and the module-path inline
+    fallback all import this so the formula cannot drift.
+
+    The max(0, ...) clamp is load-bearing, not defensive: on a
+    near-constant large-magnitude row (x = 120 + N(0, 1e-3) at C=768)
+    fp32 cancellation makes the unclamped fast variance NEGATIVE beyond
+    eps and rsqrt returns NaN — flax clamps (nn._compute_stats), and so
+    does ops/pallas/layernorm.py (round-5 review finding, verified by
+    execution)."""
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0
+    )
     rstd = jax.lax.rsqrt(var + jnp.float32(eps))
     return mu, rstd
 

@@ -176,7 +176,14 @@ def fused_log_mel(
     rows = -(-rows // 8) * 8
     x0 = _tile(x, rows)
     shift = hop % _LANE
-    xsh = _tile(x[:, shift:], rows) if shift else x0
+    # shift == 0 (e.g. hop 256): the kernel statically never reads the
+    # shifted operand (odd_ref = w0_ref), so ship a minimal dummy block
+    # instead of DMAing the whole clip into VMEM twice (round-5 review
+    # finding: ~1.3 MB VMEM + a redundant DMA per clip for 10 s audio)
+    sh_rows = rows if shift else 8
+    xsh = _tile(x[:, shift:], rows) if shift else jnp.zeros(
+        (b, 8, _LANE), x.dtype
+    )
 
     basis = jnp.asarray(make_stft_filters(n_fft, win_length)).T  # [n_fft, 2*bins]
 
@@ -193,7 +200,7 @@ def fused_log_mel(
         grid=(b, n_blocks),
         in_specs=[
             pl.BlockSpec((1, rows, _LANE), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, _LANE), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sh_rows, _LANE), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_fft, 2 * (n_fft // 2 + 1)), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_freq, n_mels), lambda i, j: (0, 0), memory_space=pltpu.VMEM),

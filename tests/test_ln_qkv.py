@@ -128,3 +128,20 @@ def test_contradictory_configs_raise():
         PaSSTConfig(fuse_ln_qkv=True, ln_impl="fused").use_scan_blocks
     with pytest.raises(NotImplementedError, match="attn_impl"):
         PaSSTConfig(fuse_ln_qkv=True, attn_impl="xla").use_scan_blocks
+
+
+def test_ln_stats_clamps_negative_fast_variance():
+    """Near-constant large-magnitude rows make the unclamped fast variance
+    NEGATIVE under fp32 cancellation (x = 120 + N(0, 1e-3), C=768: true
+    var 1e-6, unclamped fp32 estimate ~-3e-3) and rsqrt returns NaN.
+    ln_stats must clamp like flax nn.LayerNorm does (round-5 review
+    finding, verified by execution)."""
+    from passt_tpu.ops.pallas.ln_qkv import ln_stats
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        120.0 + rng.standard_normal((4, 768)).astype(np.float32) * 1e-3
+    )
+    mu, rstd = ln_stats(x, 1e-6)
+    assert bool(jnp.isfinite(rstd).all())
+    assert bool(jnp.isfinite(mu).all())
