@@ -283,10 +283,18 @@ class Experiment:
                         f"steps_per_epoch falls back to epoch_len={n} — the "
                         "LR schedule may be off"
                     )
+                if n == 0 and not (cfg.data.train_hdf5 or cfg.data.train_hdf5_extra):
+                    # no train paths configured at all (eval-only build):
+                    # a cached 0 would silently pin steps_per_epoch to 1
+                    # for the process lifetime (round-5 review finding)
+                    n = cfg.data.epoch_len
+                    print(
+                        "WARNING: no train HDF5 configured; steps_per_epoch "
+                        f"falls back to epoch_len={n}"
+                    )
                 self._len_cache[key] = n
-        num_replicas = cfg.data.num_replicas
-        if num_replicas == 0:
-            num_replicas = jax.process_count()
+        # the same auto-wiring rule _resolve_rank applies (one source)
+        num_replicas = _resolve_rank(cfg.data)[0]
         steps = max(1, n // max(1, num_replicas) // cfg.data.batch_size)
         return steps
 
@@ -416,7 +424,7 @@ class Experiment:
                 f"(global batch {cfg.data.batch_size * runtime.n_data})"
             )
         train_loader = build_train_loader(
-            cfg, batch_scale=runtime.n_data if runtime else 1
+            cfg, batch_scale=runtime.local_batch_scale if runtime else 1
         )
         steps_per_epoch = self._steps_per_epoch(cfg, train_loader)
         model, state, train_step, eval_step, _ = self.build(
@@ -435,9 +443,13 @@ class Experiment:
                 val_loaders[which] = build_eval_loader(cfg, which=which)
             except FileNotFoundError:
                 pass
+        # JSONL only on rank 0: multi-host runs share checkpoint_dir (orbax
+        # saves are collective) and every rank logs identical records — P
+        # concurrent appenders would interleave/duplicate lines (round-5
+        # review finding). stdout stays per-rank (rank-prefixed debugging).
         logger = MetricsLogger(
-            path=(cfg.trainer.checkpoint_dir or ".") + f"/{self.name}_metrics.jsonl"
-            if cfg.trainer.checkpoint_dir
+            path=cfg.trainer.checkpoint_dir + f"/{self.name}_metrics.jsonl"
+            if cfg.trainer.checkpoint_dir and jax.process_index() == 0
             else None
         )
         start_epoch = 0
@@ -661,7 +673,7 @@ class Experiment:
             # it the fused AdamW moments come back replicated, regathering
             # the TP shards every step
             raw_step = runtime.wrap_train_step(raw_step, jit=False)
-        b = speed_test_batch_size * (runtime.n_data if runtime else 1)
+        b = speed_test_batch_size * (runtime.local_batch_scale if runtime else 1)
         x = jnp.ones((b, 1, cfg.model.input_fdim, cfg.model.input_tdim), jnp.float32)
         n_out = cfg.model.n_classes * (2 if cfg.trainer.loss_type == "masked" else 1)
         if self.single_label:

@@ -142,16 +142,24 @@ class Predictor:
         logits, feats = self._fn()(self.params, jnp.asarray(wave))
         return self._embed(logits, feats, mode)
 
+    #: window rows per jitted forward in timestamp_embeddings: bounds
+    #: device memory on minutes-long HEAR clips (10 min at hop 50 ms is
+    #: 12k windows) and — because the tail chunk is PADDED up to this
+    #: size — gives exactly ONE compiled shape for every clip length.
+    timestamp_chunk: int = 256
+
     def timestamp_embeddings(
         self, wave, window_seconds: float = 0.16, hop_seconds: float = 0.05,
         mode: Optional[str] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """[B, T] -> ([B, N, D] embeddings, [N] timestamps in ms):
+        """[B, T] -> ([B, N, D] embeddings, [B, N] timestamps in ms):
         sliding-window scene embeddings (hear21passt
         get_timestamp_embeddings semantics: the audio is zero-padded by
         half a window on both sides so the timestamp grid spans the whole
         clip — including arbitrarily short clips, which the HEAR contract
-        requires the entry point to accept)."""
+        requires the entry point to accept). Timestamps follow the HEAR
+        API shape contract — (n_sounds, n_timestamps), the grid repeated
+        per sound exactly as hear21passt returns it."""
         wave = jnp.asarray(wave)
         sr = self.mel_cfg.sr
         win = int(window_seconds * sr)
@@ -162,11 +170,21 @@ class Predictor:
         padded = jnp.pad(wave, ((0, 0), (win // 2, win - win // 2)))
         centers = np.arange(win // 2, win // 2 + t, hop)  # in padded coords
         windows = [padded[:, c - win // 2 : c - win // 2 + win] for c in centers]
-        stacked = jnp.stack(windows, axis=1).reshape(b * len(centers), win)
-        logits, feats = self._fn()(self.params, stacked)
-        feats = self._embed(logits, feats, mode)
-        feats = feats.reshape(b, len(centers), -1)
-        timestamps = jnp.asarray((centers - win // 2) / sr * 1000.0)
+        stacked = np.asarray(jnp.stack(windows, axis=1).reshape(b * len(centers), win))
+        # fixed-size chunks (tail padded): one compiled shape, bounded HBM
+        chunk = self.timestamp_chunk
+        outs = []
+        fn = self._fn()
+        for lo in range(0, len(stacked), chunk):
+            part = stacked[lo : lo + chunk]
+            n_real = len(part)
+            if n_real < chunk:
+                part = np.pad(part, ((0, chunk - n_real), (0, 0)))
+            logits, feats = fn(self.params, jnp.asarray(part))
+            outs.append(np.asarray(self._embed(logits, feats, mode))[:n_real])
+        feats = jnp.asarray(np.concatenate(outs)).reshape(b, len(centers), -1)
+        grid = (centers - win // 2) / sr * 1000.0
+        timestamps = jnp.asarray(np.broadcast_to(grid, (b, len(centers))).copy())
         return feats, timestamps
 
 

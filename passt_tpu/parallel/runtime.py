@@ -121,6 +121,22 @@ class MeshRuntime:
             step=jax.device_put(state.step, NamedSharding(self.mesh, P())),
         )
 
+    @property
+    def local_batch_scale(self) -> int:
+        """How many per-replica batches THIS PROCESS's loader must build:
+        the data-axis devices local to this host. Multi-process global
+        arrays are assembled as the concatenation of per-rank shards
+        (device_put below), so scaling the loader by the GLOBAL n_data
+        would inflate the global batch by the process count (round-5
+        review finding)."""
+        pc = jax.process_count()
+        if self.n_data % pc != 0:
+            raise RuntimeError(
+                f"data axis ({self.n_data}) must divide evenly across "
+                f"{pc} processes"
+            )
+        return self.n_data // pc
+
     # -- batches --------------------------------------------------------
     def device_put(self, x):
         """Shard a host batch array along its leading axis over ``data``.
@@ -163,6 +179,14 @@ def maybe_mesh_runtime(trainer_cfg) -> Optional[MeshRuntime]:
     if n_data is None and n_model == 1:
         return None
     have = len(jax.devices())
+    if n_model > have:
+        # guard this case explicitly: (have // n_model) rounds to 0 and
+        # would defeat the need<=have check below (round-5 review finding)
+        raise RuntimeError(
+            f"trainer.n_model={n_model} exceeds the {have} available devices"
+        )
+    if n_data is not None and n_data < 1:
+        raise RuntimeError(f"trainer.n_data must be >= 1, got {n_data}")
     need = (n_data or (have // n_model)) * n_model
     if need > have:
         raise RuntimeError(

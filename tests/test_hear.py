@@ -64,10 +64,11 @@ def test_timestamp_embeddings(tiny_predictor, rng_np):
         wave, window_seconds=0.5, hop_seconds=0.25, mode="embed_only"
     )
     assert emb_f.shape[2] == 64
-    assert emb.shape[1] == len(ts)
+    # HEAR API shape contract: timestamps are (n_sounds, n_timestamps)
     ts = np.asarray(ts)
-    assert (np.diff(ts) > 0).all()  # monotonically increasing, in ms
-    assert ts[0] >= 0 and ts[-1] <= 1000.0
+    assert ts.shape == (emb.shape[0], emb.shape[1])
+    assert (np.diff(ts, axis=1) > 0).all()  # monotonically increasing, ms
+    assert ts[0, 0] >= 0 and ts[0, -1] <= 1000.0
 
 
 def test_hear_module_entry_points(rng_np):
@@ -87,7 +88,7 @@ def test_hear_module_entry_points(rng_np):
         assert emb.shape == (2, 64)
         ts_emb, ts = hear.get_timestamp_embeddings(wave, m)
         assert ts_emb.shape[0] == 2 and ts_emb.shape[2] == 64
-        assert ts_emb.shape[1] == len(ts)
+        assert np.asarray(ts).shape == (2, ts_emb.shape[1])  # (B, N) HEAR shape
         m_all = hear.load_model(dtype="float32", input_tdim=98)
         assert hear.get_scene_embeddings(wave, m_all).shape == (2, 527 + 64)
     finally:
@@ -105,15 +106,22 @@ def test_timestamp_embeddings_short_audio_and_full_span(tiny_predictor, rng_np):
     tiny_clip = rng_np.standard_normal((1, int(0.1 * sr))).astype(np.float32)
     emb, ts = tiny_predictor.timestamp_embeddings(tiny_clip)
     assert emb.shape[0] == 1 and emb.shape[1] >= 1
-    assert float(ts[0]) == 0.0
+    assert float(ts[0, 0]) == 0.0
 
     one_sec = rng_np.standard_normal((2, sr)).astype(np.float32)
     emb, ts = tiny_predictor.timestamp_embeddings(one_sec)
-    assert emb.shape[:2] == (2, len(ts))
-    assert float(ts[0]) == 0.0
-    assert float(ts[-1]) >= 1000.0 - 50.0 - 1e-6  # grid reaches the last hop
-    hops = np.diff(np.asarray(ts))
+    assert np.asarray(ts).shape == (2, emb.shape[1])
+    assert float(ts[0, 0]) == 0.0
+    assert float(ts[0, -1]) >= 1000.0 - 50.0 - 1e-6  # grid reaches last hop
+    hops = np.diff(np.asarray(ts), axis=1)
     np.testing.assert_allclose(hops, 50.0, atol=1e-6)
+    # chunked forward (tail padded to the fixed chunk) == one-shot math:
+    # the 2x21-window call above crossed no chunk boundary; force one
+    tiny_predictor.timestamp_chunk = 8
+    emb2, ts2 = tiny_predictor.timestamp_embeddings(one_sec)
+    np.testing.assert_allclose(np.asarray(emb2), np.asarray(emb), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ts2), np.asarray(ts))
+    tiny_predictor.timestamp_chunk = 256
 
 
 @pytest.mark.slow  # builds the real depth-12 stfthop100 arch at tdim 3200

@@ -229,3 +229,32 @@ def test_tp_halves_per_device_param_and_opt_bytes():
         assert got_repl == expected_bytes(tree, tp=False)
         assert got_tp == expected_bytes(tree, tp=True)
         assert got_tp < got_repl  # TP strictly reduces per-device memory
+
+
+def test_local_batch_scale_and_runtime_validation():
+    """local_batch_scale divides the data axis by the process count (the
+    loader builds the LOCAL shard; scaling by global n_data would inflate
+    the global batch by P — round-5 review finding), and degenerate
+    n_model/n_data configs raise clearly instead of crashing inside
+    mesh_utils."""
+    import pytest
+
+    from passt_tpu.parallel.runtime import MeshRuntime, maybe_mesh_runtime
+    from passt_tpu.parallel.mesh import make_mesh
+
+    rt = MeshRuntime(make_mesh(n_data=4, n_model=2))
+    assert rt.local_batch_scale == 4  # single process: local == global
+
+    class T:
+        n_data = None
+        n_model = 16  # > 8 virtual devices
+
+    with pytest.raises(RuntimeError, match="exceeds"):
+        maybe_mesh_runtime(T())
+
+    class T2:
+        n_data = 0
+        n_model = 1
+
+    with pytest.raises(RuntimeError, match="must be >= 1"):
+        maybe_mesh_runtime(T2())
