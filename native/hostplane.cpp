@@ -356,13 +356,29 @@ int64_t DecodeMp3One(const uint8_t* data, int64_t size, float* out,
       pending.erase(pending.begin(), pending.begin() + usable);
     }
     switch (rc) {
-      case kMpg123NewFormat:
-        if (m.getformat(h, &rate, &channels, &encoding) != kMpg123Ok ||
-            (encoding != kEncFloat32 && encoding != kEncSigned16)) {
+      case kMpg123NewFormat: {
+        long new_rate = 0;
+        int new_ch = 0, new_enc = 0;
+        if (m.getformat(h, &new_rate, &new_ch, &new_enc) != kMpg123Ok ||
+            (new_enc != kEncFloat32 && new_enc != kEncSigned16)) {
           m.delete_(h);
           return -1;
         }
+        if ((total > 0 || !pending.empty()) &&
+            (new_rate != rate || new_ch != channels || new_enc != encoding)) {
+          // Mid-stream format change (concatenated stereo->mono / rate
+          // switch): continuing would re-frame stale pending bytes with
+          // the new frame size and count old-rate samples at the new
+          // rate — silent garbling. Fail loudly instead (round-5 review
+          // finding); callers surface it as a decode error.
+          m.delete_(h);
+          return -4;
+        }
+        rate = new_rate;
+        channels = new_ch;
+        encoding = new_enc;
         break;
+      }
       case kMpg123Ok:
         break;
       case kMpg123NeedMore:  // whole buffer fed -> end of stream

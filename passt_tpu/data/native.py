@@ -50,6 +50,7 @@ def _lib_path() -> Optional[str]:
 
 
 _ABI_VERSION = 2  # must match hostplane_version() — bump on ABI change
+_LOAD_ERROR: Optional[RuntimeError] = None  # persistent stale-ABI failure
 
 
 def load(n_threads: Optional[int] = None) -> Optional[ctypes.CDLL]:
@@ -58,8 +59,14 @@ def load(n_threads: Optional[int] = None) -> Optional[ctypes.CDLL]:
     An explicit ``n_threads`` resizes the global worker pool, including on
     an already-loaded library (hostplane_init quiesces in-flight work
     first); ``None`` leaves a loaded pool untouched."""
-    global _LIB, _SEARCHED
+    global _LIB, _SEARCHED, _LOAD_ERROR
     if _LIB is not None or _SEARCHED:
+        if _LOAD_ERROR is not None:
+            # a stale/broken library is a PERSISTENT loud failure: the
+            # first caller must not consume the one RuntimeError and leave
+            # every later probe silently returning None with a false
+            # "not built" diagnosis (round-5 review finding)
+            raise _LOAD_ERROR
         if _LIB is not None and n_threads is not None:
             _LIB.hostplane_init(n_threads)
         return _LIB
@@ -72,10 +79,11 @@ def load(n_threads: Optional[int] = None) -> Optional[ctypes.CDLL]:
     lib.hostplane_version.restype = ctypes.c_int
     got = lib.hostplane_version()
     if got != _ABI_VERSION:
-        raise RuntimeError(
+        _LOAD_ERROR = RuntimeError(
             f"stale libhostplane.so at {path} (ABI v{got}, bindings need "
             f"v{_ABI_VERSION}) — rebuild: make -C native, or pip install -e ."
         )
+        raise _LOAD_ERROR
     lib.hostplane_assemble_batch.argtypes = [
         ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_int64),
@@ -188,10 +196,27 @@ def assemble_batch(
 
 
 def wavmix(out: np.ndarray, other: np.ndarray, lam: np.ndarray, apply: np.ndarray) -> None:
-    """In-place wave mixup on a [B, T] batch (see hostplane_wavmix)."""
+    """In-place wave mixup on a [B, T] batch (see hostplane_wavmix).
+
+    ``out`` is written IN PLACE through its raw pointer, so it must
+    already be contiguous float32 — a float64 or strided view would be
+    silently reinterpreted as float32 rows by the C++ side (round-5
+    review finding); the other operands are coerced (copies are fine for
+    read-only args) but must cover [B(,T)]."""
     lib = load()
     assert lib is not None
     b, t = out.shape
+    if out.dtype != np.float32 or not out.flags["C_CONTIGUOUS"]:
+        raise ValueError(
+            f"wavmix out must be contiguous float32 [B, T]; got "
+            f"dtype={out.dtype}, contiguous={out.flags['C_CONTIGUOUS']}"
+        )
+    if other.shape != (b, t):
+        raise ValueError(f"wavmix other shape {other.shape} != {(b, t)}")
+    if len(lam) < b or len(apply) < b:
+        raise ValueError(
+            f"wavmix lam/apply must cover the batch: {len(lam)}/{len(apply)} < {b}"
+        )
     lib.hostplane_wavmix(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         np.ascontiguousarray(other, np.float32).ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -200,6 +225,21 @@ def wavmix(out: np.ndarray, other: np.ndarray, lam: np.ndarray, apply: np.ndarra
         b,
         t,
     )
+
+
+#: Capacity heuristic for decoded-mp3 output buffers, samples per input
+#: byte (true Layer-III bound is <=48 at 8 kbps/48 kHz; 64 adds margin).
+#: MUST stay in sync with kCapSamplesPerByte in native/hostplane.cpp.
+_MP3_CAP_SAMPLES_PER_BYTE = 64
+_MP3_CAP_SLACK = 65536
+
+
+def _as_u8_buffer(data) -> np.ndarray:
+    """bytes / buffer / ndarray -> contiguous uint8 array (shared by the
+    single-clip and batch decode paths)."""
+    if isinstance(data, np.ndarray):
+        return np.ascontiguousarray(data, dtype=np.uint8)
+    return np.frombuffer(bytes(data), dtype=np.uint8)
 
 
 def mp3_available() -> bool:
@@ -221,13 +261,10 @@ def decode_mp3(data) -> tuple:
             "build it with `make -C native` (libmpg123.so.0 must be on the "
             "loader path; it ships with this image and with pygame wheels)"
         )
-    buf = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(
-        data, np.ndarray
-    ) else np.ascontiguousarray(data, dtype=np.uint8)
-    # Capacity heuristic: <=48 output samples per input byte for any valid
-    # Layer III stream (8 kbps @ 48 kHz); re-call with the exact size if the
-    # decoder reports more (free-format streams).
-    cap = int(buf.size) * 64 + 65536
+    buf = _as_u8_buffer(data)
+    # re-call with the exact size if the decoder reports more than the
+    # heuristic capacity (free-format streams)
+    cap = int(buf.size) * _MP3_CAP_SAMPLES_PER_BYTE + _MP3_CAP_SLACK
     out = np.empty(cap, dtype=np.float32)
     rate = ctypes.c_int32(0)
     n = lib.hostplane_decode_mp3(
@@ -251,6 +288,7 @@ def decode_mp3(data) -> tuple:
             -1: "bitstream/decoder error",
             -2: "libmpg123 not found",
             -3: "no audio frames in buffer",
+            -4: "mid-stream format change (mixed-format concatenated mp3)",
         }.get(int(n), f"error {int(n)}")
         raise ValueError(f"mp3 decode failed: {reason}")
     return out[:n].copy(), int(rate.value)
@@ -275,12 +313,7 @@ def assemble_mp3_batch(
         "mp3 decode needs libhostplane.so + libmpg123 (make -C native)"
     )
     b = len(mp3_items)
-    items = [
-        np.ascontiguousarray(x, dtype=np.uint8)
-        if isinstance(x, np.ndarray)
-        else np.frombuffer(bytes(x), dtype=np.uint8)
-        for x in mp3_items
-    ]
+    items = [_as_u8_buffer(x) for x in mp3_items]
     ptrs = (ctypes.c_void_p * b)(
         *[x.ctypes.data_as(ctypes.c_void_p).value for x in items]
     )

@@ -117,9 +117,12 @@ class NativeBatchBuilder:
         self._base_seed = seed
         self._seed = seed
         self.num_workers = num_workers
-        if num_workers > 0:
-            # honor the configured worker count: resize the global C++
-            # pool (the numpy path obeys data.num_workers; so must this)
+        if num_workers is not None and num_workers >= 0:
+            # honor the configured worker count — INCLUDING 0 (inline
+            # single-threaded decode, the deterministic-debug/profiling
+            # mode hostplane supports; the old >0 guard silently left the
+            # default many-thread pool running — round-5 review finding).
+            # The numpy path obeys data.num_workers; so must this.
             native.load(n_threads=num_workers)
 
     def set_epoch(self, epoch: int) -> None:

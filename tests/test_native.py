@@ -153,3 +153,38 @@ def test_unpack_targets_zero_fills_past_packed_row(rng_np):
     want = np.zeros((3, 30), np.float32)
     want[:, :16] = np.unpackbits(packed, axis=1, count=16).astype(np.float32)
     np.testing.assert_array_equal(out, want)
+
+
+def test_stale_abi_error_is_persistent(monkeypatch):
+    """A stale-ABI library must keep failing LOUDLY on every load() call —
+    the first caller consuming the one RuntimeError used to leave all
+    later probes silently returning None with a false 'not built'
+    diagnosis (round-5 review finding)."""
+    import passt_tpu.data.native as native
+
+    err = RuntimeError("stale libhostplane.so (test)")
+    monkeypatch.setattr(native, "_LOAD_ERROR", err)
+    monkeypatch.setattr(native, "_SEARCHED", True)
+    with pytest.raises(RuntimeError, match="stale"):
+        native.load()
+    with pytest.raises(RuntimeError, match="stale"):  # and again
+        native.load()
+
+
+def test_wavmix_validates_out_buffer():
+    """wavmix writes through out's raw pointer — wrong dtype/contiguity
+    must raise, not silently reinterpret memory (round-5 review finding)."""
+    import passt_tpu.data.native as native
+
+    if not native.available():
+        pytest.skip("native host plane not built")
+    b, t = 2, 256
+    other = np.zeros((b, t), np.float32)
+    lam = np.ones(b, np.float32)
+    apply = np.ones(b, np.uint8)
+    with pytest.raises(ValueError, match="contiguous float32"):
+        native.wavmix(np.zeros((b, t), np.float64), other, lam, apply)
+    with pytest.raises(ValueError, match="other shape"):
+        native.wavmix(np.zeros((b, t), np.float32), other[:, :128], lam, apply)
+    with pytest.raises(ValueError, match="cover the batch"):
+        native.wavmix(np.zeros((b, t), np.float32), other, lam[:1], apply)
