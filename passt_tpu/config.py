@@ -259,7 +259,18 @@ def _coerce(old: Any, raw: str) -> Any:
         except (json.JSONDecodeError, ValueError):
             return raw
     if isinstance(old, bool):
-        return raw.lower() in ("1", "true", "yes", "on")
+        low = raw.lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        # silent False on a typo ("ture") disabled features for whole
+        # runs (round-5 review finding) — numeric fields already fail
+        # loudly on bad input; bools must too
+        raise ValueError(
+            f"cannot interpret {raw!r} as a boolean "
+            "(use true/false/1/0/yes/no/on/off)"
+        )
     if isinstance(old, int):
         return int(raw)
     if isinstance(old, float):
@@ -303,21 +314,30 @@ PRESETS: Dict[str, Dict[str, str]] = {
     # debugging
     "mini_train": {"trainer.limit_train_batches": "5", "trainer.limit_eval_batches": "5"},
     "nomixup": {"trainer.use_mixup": "false"},
+    # the reference named config is "mixup" (config_updates.py:18);
+    # "mixupx" kept as a back-compat alias for earlier rounds' scripts
+    "mixup": {"trainer.use_mixup": "true", "trainer.mixup_alpha": "0.3"},
     "mixupx": {"trainer.use_mixup": "true", "trainer.mixup_alpha": "0.3"},
     "no_wavmix": {"data.wavmix": "false"},
     "dynamic_roll": {"data.roll": "true", "data.roll_shift_range": "10000"},
     # (reference dynamic_roll sets shift_range=10000, config_updates.py:224-229)
     # high-temporal-resolution STFT variants (reference hop100/hop160
     # checkpoints, passt.py:219-226: 10 s -> tdim 3200 / 2000)
+    # (pretrained=true like every published-checkpoint preset: the
+    # reference's model_ing defaults pretrained=True, so its named
+    # configs all evaluate the published weights — a preset that left
+    # pretrained=false would silently evaluate a random init)
     "stfthop100": {
         "mel.hopsize": "100",
         "model.arch": "passt_s_swa_f128_stfthop100_p16_s10_ap473",
         "model.input_tdim": "3200",
+        "model.pretrained": "true",
     },
     "stfthop160": {
         "mel.hopsize": "160",
         "model.arch": "passt_s_swa_f128_stfthop160_p16_s10_ap473",
         "model.input_tdim": "2000",
+        "model.pretrained": "true",
     },
     # FSD50K variable-length eval (reference ex_fsd50k.py variable_eval
     # named config: clip_length=None, batch_size=1)
@@ -338,7 +358,12 @@ PRESETS: Dict[str, Dict[str, str]] = {
         "data.eval_batch_size": "20",
         "data.eval_pad_multiple_s": "0",
     },
-    # pretrained archs (config_updates.py:55-134)
+    # pretrained archs (config_updates.py:55-134). The non-overlap /
+    # wide-stride archs additionally set the stride the checkpoint was
+    # trained at — the reference named configs pass fstride/tstride
+    # explicitly (config_updates.py:87-134); without them the model
+    # builds a stride-10 patch grid and the s16/s14/s12 checkpoints land
+    # in the wrong geometry (round-5 review finding).
     **{
         name: {"model.arch": name, "model.pretrained": "true"}
         for name in [
@@ -347,24 +372,42 @@ PRESETS: Dict[str, Dict[str, str]] = {
             "passt_s_p16_128_ap472",
             "passt_s_kd_p16_128_ap486",
             "passt_l_kd_p16_128_ap47",
-            "passt_s_p16_s16_128_ap468",
-            "passt_s_swa_p16_s16_128_ap473",
-            "passt_s_swa_p16_s14_128_ap471",
-            "passt_s_p16_s14_128_ap469",
-            "passt_s_swa_p16_s12_128_ap473",
-            "passt_s_p16_s12_128_ap470",
         ]
     },
-    # long-audio variants (config_updates.py:36-53)
+    **{
+        name: {
+            "model.arch": name,
+            "model.pretrained": "true",
+            "model.fstride": str(stride),
+            "model.tstride": str(stride),
+        }
+        for name, stride in [
+            ("passt_s_p16_s16_128_ap468", 16),
+            ("passt_s_swa_p16_s16_128_ap473", 16),
+            ("passt_s_swa_p16_s14_128_ap471", 14),
+            ("passt_s_p16_s14_128_ap469", 14),
+            ("passt_s_swa_p16_s12_128_ap473", 12),
+            ("passt_s_p16_s12_128_ap470", 12),
+        ]
+    },
+    # long-audio variants (config_updates.py:36-53). NOTE: the reference
+    # sets clip_length=20 for BOTH — the 30-sec arch's published protocol
+    # feeds 20 s clips into the 3000-frame time encoding (the crop path);
+    # clip_length=30 here was a silent parity deviation (round-5 review
+    # finding). Override data.clip_length=30 explicitly to use the full
+    # window. Both load the published weights like the reference's
+    # pretrained-by-default model_ing.
     "passt_20sec": {
         "model.arch": "passt_s_f128_20sec_p16_s10_ap474",
         "model.input_tdim": "2000",
+        "model.pretrained": "true",
         "data.clip_length": "20",
     },
     "passt_30sec": {
         "model.arch": "passt_s_f128_30sec_p16_s10_ap473",
         "model.input_tdim": "3000",
-        "data.clip_length": "30",
+        "model.pretrained": "true",
+        "data.clip_length": "20",
     },
 }
 

@@ -656,9 +656,21 @@ def fit(
             # train-epoch START with swa_start = swa_epoch_start - 1; end of
             # epoch e here == start of epoch e+1 there, so cadence is exact).
             if swa_epoch_start is not None:
-                if swa_state is None:
-                    swa_state = swa_init(state.params, swa_epoch_start, swa_freq)
-                if swa_should_update(swa_state, epoch, max_epochs):
+                # cadence probe without materializing the average: eager
+                # swa_init held a redundant fp32 copy of all params
+                # (~344 MB at PaSST-S) on device for the ~50 pre-SWA
+                # epochs (round-5 review finding) — the first real update
+                # overwrites it wholesale anyway (swa_update n==0 branch)
+                cadence = SWAState(
+                    avg_params=None, n_averaged=0,
+                    swa_epoch_start=swa_epoch_start, swa_freq=swa_freq,
+                )
+                if swa_should_update(
+                    swa_state if swa_state is not None else cadence,
+                    epoch, max_epochs,
+                ):
+                    if swa_state is None:
+                        swa_state = swa_init(state.params, swa_epoch_start, swa_freq)
                     swa_state = swa_update(swa_state, state.params)
                     record["swa_n"] = swa_state.n_averaged
 

@@ -147,7 +147,8 @@ def adamw_bf16sr(
             nu=jax.tree_util.tree_map(zeros, params),
         )
 
-    def update(grads, state, params=None):
+    def update(grads, state, params=None, **extra_args):
+        del extra_args  # GradientTransformationExtraArgs contract
         if params is None:
             raise ValueError("adamw_bf16sr requires params")
         count = state.count + 1
@@ -171,7 +172,16 @@ def adamw_bf16sr(
             step = (m / c1) / (jnp.sqrt(v / c2) + eps) + weight_decay * p.astype(
                 jnp.float32
             )
-            upd.append((-lr * step).astype(p.dtype))
+            # fp32 updates for bf16-stored leaves: casting the ~2e-5-scale
+            # update to bf16 here would nearest-round it BEFORE
+            # apply_updates_sr's fp32 add + stochastic store, partially
+            # defeating the unbiased-SR design (round-5 review finding).
+            # fp32 leaves are unchanged (astype is the identity there).
+            upd.append(
+                -lr * step
+                if p.dtype == jnp.bfloat16
+                else (-lr * step).astype(p.dtype)
+            )
             new_mu.append(m.astype(jnp.bfloat16))
             if sr_nu:
                 new_nu.append(

@@ -38,7 +38,19 @@ def test_arch_presets_update_model():
     assert cfg.model.pretrained is True
     _, cfg = parse_cli(["main", "passt_30sec"], base)
     assert cfg.model.input_tdim == 3000
-    assert cfg.data.clip_length == 30
+    # reference passt_s_30sec sets clip_length=20 even for the 30-sec arch
+    # (config_updates.py:46-53: 20 s clips into the 3000-frame encoding)
+    assert cfg.data.clip_length == 20
+    assert cfg.model.pretrained is True
+    # wide-stride presets carry their checkpoint's stride
+    # (config_updates.py:87-134)
+    _, cfg = parse_cli(["main", "passt_s_p16_s16_128_ap468"], base)
+    assert (cfg.model.fstride, cfg.model.tstride) == (16, 16)
+    _, cfg = parse_cli(["main", "passt_s_swa_p16_s14_128_ap471"], base)
+    assert (cfg.model.fstride, cfg.model.tstride) == (14, 14)
+    # the reference's "mixup" named config name works (alias mixupx kept)
+    _, cfg = parse_cli(["main", "with", "mixup"], base)
+    assert cfg.trainer.use_mixup is True
 
 
 def test_default_configs_match_reference_recipes():
